@@ -1,0 +1,128 @@
+"""2D shallow-water solver tests (sw2d-simple configuration analog:
+src/sw2d-simple/main.cpp:33-177 — box mesh, N=1..3, Gaussian eta bump,
+wall BCs, SSP-RK2 + modal filter)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blitzdg_tpu.mesh import box_triangles
+from blitzdg_tpu.ops.sw2d import (
+    SWPhysics,
+    SWState,
+    apply_filter,
+    sw2d_rhs,
+    sw2d_timestep,
+)
+from blitzdg_tpu.specgrid.triangle import build_triangle_context
+from blitzdg_tpu.timestepping import ssprk2_step
+
+
+def make_problem(N=1, cells=4):
+    mesh = box_triangles(cells, cells)
+    ctx = build_triangle_context(N, mesh, filter_cutoff=0.9 * N, filter_order=N)
+    phys = SWPhysics(g=9.81)
+    eta = jnp.exp(-10.0 * (ctx.x**2) - 10.0 * (ctx.y**2))
+    h = 10.0 + eta
+    state = SWState(h=h, hu=jnp.zeros_like(h), hv=jnp.zeros_like(h))
+    return ctx, phys, state
+
+
+def mass(ctx, h):
+    V = np.asarray(ctx.V)
+    M = np.linalg.inv(V @ V.T)
+    w = M.sum(axis=0)  # quadrature weights on the reference element
+    return float(np.sum(w[None, :] * np.asarray(ctx.J) * np.asarray(h)))
+
+
+def test_rhs_zero_for_lake_at_rest():
+    """Flat free surface + zero momentum must be an exact steady state."""
+    ctx, phys, _ = make_problem(N=2)
+    state = SWState(
+        h=jnp.full((ctx.k_elem, ctx.n_p), 10.0),
+        hu=jnp.zeros((ctx.k_elem, ctx.n_p)),
+        hv=jnp.zeros((ctx.k_elem, ctx.n_p)),
+    )
+    rhs = sw2d_rhs(ctx, state, 0.0, phys)
+    np.testing.assert_allclose(np.asarray(rhs.h), 0.0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(rhs.hu), 0.0, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(rhs.hv), 0.0, atol=1e-8)
+
+
+def test_sw2d_stable_and_conserves_mass():
+    ctx, phys, state0 = make_problem(N=1, cells=4)
+    cfl = 0.65
+    m0 = mass(ctx, state0.h)
+
+    def rhs(s, t):
+        return sw2d_rhs(ctx, s, t, phys)
+
+    post = lambda f: apply_filter(ctx, f)
+
+    @jax.jit
+    def run(state):
+        def body(carry, _):
+            s, t = carry
+            dt = sw2d_timestep(ctx, s, phys.g, cfl)
+            s = ssprk2_step(rhs, s, t, dt, post_stage=post)
+            return (s, t + dt), dt
+
+        (s, t), dts = jax.lax.scan(body, (state, 0.0), None, length=200)
+        return s, t, dts
+
+    state, t, dts = run(state0)
+    h = np.asarray(state.h)
+    assert np.all(np.isfinite(h))
+    eta_max = float(np.max(np.abs(h - 10.0)))
+    assert eta_max < 2.0  # initial bump is 1.0; bounded evolution
+    # Mass conservation: DG + reflective walls conserve total volume.
+    m1 = mass(ctx, state.h)
+    np.testing.assert_allclose(m1, m0, rtol=1e-10)
+    assert float(t) > 0
+
+
+def test_wall_reflection_no_normal_flow():
+    """Momentum flux through walls should vanish: start with a bump, check
+    the boundary-normal momentum stays ~0 at wall faces after steps."""
+    ctx, phys, state0 = make_problem(N=2, cells=3)
+
+    def rhs(s, t):
+        return sw2d_rhs(ctx, s, t, phys)
+
+    @jax.jit
+    def run(state, dt):
+        def body(carry, _):
+            s, t = carry
+            s = ssprk2_step(rhs, s, t, dt)
+            return (s, t + dt), None
+
+        (s, _), _ = jax.lax.scan(body, (state, 0.0), None, length=50)
+        return s
+
+    state = run(state0, 1e-3)
+    hu = np.asarray(state.hu).reshape(-1)
+    hv = np.asarray(state.hv).reshape(-1)
+    vb = np.asarray(ctx.vmapB)[np.asarray(ctx.maskB)]
+    mb = np.asarray(ctx.mapB)[np.asarray(ctx.maskB)]
+    nx = np.asarray(ctx.nx).reshape(-1)[mb]
+    ny = np.asarray(ctx.ny).reshape(-1)[mb]
+    un = hu[vb] * nx + hv[vb] * ny
+    # normal momentum at walls is not identically zero nodally in DG, but
+    # must remain small relative to the momentum scale
+    scale = max(np.abs(hu).max(), np.abs(hv).max())
+    assert np.abs(un).max() < 0.5 * scale
+
+
+def test_sw2d_differentiable():
+    ctx, phys, state0 = make_problem(N=1, cells=3)
+
+    def loss(h0):
+        s = SWState(h=h0, hu=jnp.zeros_like(h0), hv=jnp.zeros_like(h0))
+        def body(carry, _):
+            st, t = carry
+            st = ssprk2_step(lambda ss, tt: sw2d_rhs(ctx, ss, tt, phys), st, t, 1e-3)
+            return (st, t + 1e-3), None
+        (s, _), _ = jax.lax.scan(body, (s, 0.0), None, length=10)
+        return jnp.sum((s.h - 10.0) ** 2)
+
+    g = jax.grad(loss)(state0.h)
+    assert np.all(np.isfinite(np.asarray(g)))
