@@ -1,0 +1,281 @@
+"""Matrix-free interior-penalty Poisson/Laplacian operators (1D and 2D).
+
+Device-resident operators for Krylov solves. Functional parity targets:
+ - 1D SIP operator (src/poisson1d/Poisson1d.hpp:24-137): tau = Np^2/hmin,
+   symmetrized by J*M (left mass-matrix multiply);
+ - 2D LDG/IP operator (src/poisson2d/Poisson2d.hpp:24-167): central gradient
+   flux with Dirichlet (uP=-uM) on Wall/Dirichlet tags, Neumann gradient
+   mirror, penalty tau = Np/hmin.
+
+The symmetric variants multiply by J*M so CG applies; they are the
+discretization of  -(grad u, grad v) + surface terms  in weak form.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import dg_op
+from ..context import BC_DIRICHLET, BC_NEUMAN, BC_WALL, DGContext1D, DGContext2D
+
+
+def _trace(ctx, f):
+    ff = f.reshape(-1)
+    return ff[ctx.vmapM.reshape(-1)], ff[ctx.vmapP.reshape(-1)]
+
+
+@dg_op
+def poisson2d_op(
+    ctx: DGContext2D,
+    u: jnp.ndarray,
+    tau: float | None = None,
+    dirichlet_tags=(BC_WALL, BC_DIRICHLET),
+    neumann_tags=(BC_NEUMAN,),
+    symmetrize: bool = False,
+) -> jnp.ndarray:
+    """Apply the 2D IP Laplacian to u: (K, Np) -> (K, Np).
+
+    With ``symmetrize`` the output is J*M*(L u) making the operator
+    symmetric negative-definite (use with CG on -A).
+    """
+    K, n_tr = ctx.k_elem, ctx.n_faces * ctx.n_fp
+    n_p = ctx.n_p
+
+    if tau is None:
+        # Standard SIP penalty tau ~ (N+1)^2 / h. NOTE: deliberately NOT the
+        # reference's tau = Np*max(J)/2 (Poisson2d.hpp:143-144), which is far
+        # below the coercivity threshold — their GMRES run only converged
+        # because it warm-starts from the exact solution (main.cpp:90).
+        # Verified: this choice makes the symmetrized operator negative
+        # definite (eigenvalue check in tests).
+        tau = (ctx.n_order + 1) ** 2 * jnp.max(ctx.fscale)
+
+    ux, uy = ctx.grad(u)
+
+    uM, uP = _trace(ctx, u)
+    nxf = ctx.nx.reshape(-1)
+    nyf = ctx.ny.reshape(-1)
+
+    # Dirichlet: uP = -uM (zero trace); Neumann handled on the gradient.
+    for tag in dirichlet_tags:
+        idx, mask = ctx.bc_maps.idx[tag], ctx.bc_maps.mask[tag]
+        uP = uP.at[idx].set(jnp.where(mask, -uM[idx], uP[idx]))
+
+    du = uM - uP
+    du_mat = du.reshape(K, n_tr)
+
+    # Auxiliary gradient with central flux: q = grad u - Lift(n du / 2)
+    qx = ux - ((ctx.fscale * ctx.nx * du_mat * 0.5) @ ctx.lift.T)
+    qy = uy - ((ctx.fscale * ctx.ny * du_mat * 0.5) @ ctx.lift.T)
+
+    uxM, uxP = _trace(ctx, ux)
+    uyM, uyP = _trace(ctx, uy)
+    qxM, _ = _trace(ctx, qx)
+    qyM, _ = _trace(ctx, qy)
+
+    # Neumann: mirror the gradient so the normal component cancels.
+    for tag in neumann_tags:
+        idx, mask = ctx.bc_maps.idx[tag], ctx.bc_maps.mask[tag]
+        un = uxM[idx] * nxf[idx] + uyM[idx] * nyf[idx]
+        uxP = uxP.at[idx].set(jnp.where(mask, uxM[idx] - 2.0 * nxf[idx] * un, uxP[idx]))
+        uyP = uyP.at[idx].set(jnp.where(mask, uyM[idx] - 2.0 * nyf[idx] * un, uyP[idx]))
+
+    # interior-penalty numerical flux for the divergence stage:
+    # q* = average of the one-sided gradients
+    dqx = qxM - 0.5 * (uxM + uxP)
+    dqy = qyM - 0.5 * (uyM + uyP)
+
+    # No 1/2 on the final surface term: with q* = {grad u} the half is
+    # already inside the averages; the extra /2.0 the reference applies
+    # (Poisson2d.hpp:149) breaks symmetry (checked numerically).
+    surf = (
+        ctx.nx * dqx.reshape(K, n_tr)
+        + ctx.ny * dqy.reshape(K, n_tr)
+        + tau * du_mat
+    )
+
+    qxr, qxs = qx @ ctx.Dr.T, qx @ ctx.Ds.T
+    qyr, qys = qy @ ctx.Dr.T, qy @ ctx.Ds.T
+    lap = (
+        ctx.rx * qxr + ctx.sx * qxs + ctx.ry * qyr + ctx.sy * qys
+        - (ctx.fscale * surf) @ ctx.lift.T
+    )
+
+    if symmetrize:
+        M = ctx.Vinv.T @ ctx.Vinv
+        lap = ctx.J * (lap @ M.T)
+    return lap
+
+
+@dg_op
+def poisson1d_op(
+    ctx: DGContext1D,
+    u: jnp.ndarray,
+    tau: float | None = None,
+    symmetrize: bool = True,
+) -> jnp.ndarray:
+    """1D SIP Laplacian (Dirichlet u=0 ends), u: (K, Np) -> (K, Np).
+    Reference analog: Poisson1d.hpp:24-137."""
+    K, n_tr = ctx.k_elem, ctx.n_faces * ctx.n_fp
+    n_p = ctx.n_p
+
+    if tau is None:
+        tau = n_p * n_p * jnp.max(1.0 / ctx.J) / 2.0  # Np^2/hmin
+
+    ux = ctx.rx * (u @ ctx.Dr.T)
+
+    uM, uP = _trace(ctx, u)
+    nxf = ctx.nx.reshape(-1)
+    # Dirichlet at both domain ends: uP = -uM
+    uP = uP.at[ctx.mapI].set(-uM[ctx.mapI])
+    uP = uP.at[ctx.mapO].set(-uM[ctx.mapO])
+    du = (uM - uP).reshape(K, n_tr)
+
+    q = ux - ((ctx.fscale * ctx.nx * du * 0.5) @ ctx.lift.T)
+
+    qM, qP = _trace(ctx, q)
+    uxM, uxP = _trace(ctx, ux)
+    # Neumann mirror not needed (pure Dirichlet problem); IP flux:
+    dq = (qM - 0.5 * (uxM + uxP)).reshape(K, n_tr)
+
+    # reference form (Poisson1d.hpp:122-127): nx*(dq + tau*nx*du),
+    # no extra half (nx^2 = 1 in 1D)
+    surf = ctx.nx * dq + tau * du
+    lap = ctx.rx * (q @ ctx.Dr.T) - (ctx.fscale * surf) @ ctx.lift.T
+
+    if symmetrize:
+        M = ctx.Vinv.T @ ctx.Vinv
+        lap = ctx.J * (lap @ M.T)
+    return lap
+
+
+def apply_mass(ctx, f: jnp.ndarray) -> jnp.ndarray:
+    """J * (M f) — the weak-form load-vector weighting."""
+    M = ctx.Vinv.T @ ctx.Vinv
+    return ctx.J * (f @ M.T)
+
+
+# ---------------------------------------------------------------------------
+# Host-side assembled SIP operator (verification oracle + direct-solve path)
+# ---------------------------------------------------------------------------
+
+def assemble_poisson2d(ctx: DGContext2D, bordered: bool = False):
+    """Assemble the global sparse SIP Poisson operator and mass matrix on
+    host (scipy), mirroring the reference Poisson2DSparseMatrix nodal path
+    (src/Poisson2DSparseMatrix.cpp:590-848): volume term
+    J (Dx^T M Dx + Dy^T M Dy), SIP face terms with penalty
+    gtau = 100^2 * 2 (N+1)^2 / hmin per face, Dirichlet on Wall tags.
+
+    Returns (OP, MM) as scipy CSR matrices over the (K*Np,) flat numbering.
+    ``bordered`` appends the row/column of ones for pure-Neumann
+    solvability (reference :837-843).
+    """
+    import scipy.sparse as sp
+
+    K, n_p, n_fp, n_faces = ctx.k_elem, ctx.n_p, ctx.n_fp, ctx.n_faces
+    Dr = np.asarray(ctx.Dr)
+    Ds = np.asarray(ctx.Ds)
+    V = np.asarray(ctx.V)
+    M = np.linalg.inv(V @ V.T)
+    fmask = np.asarray(ctx.fmask)  # (3, Nfp)
+    rx, ry = np.asarray(ctx.rx), np.asarray(ctx.ry)
+    sx, sy = np.asarray(ctx.sx), np.asarray(ctx.sy)
+    J = np.asarray(ctx.J)
+    sJ = np.asarray(ctx.sJ).reshape(K, n_faces, n_fp)
+    nx = np.asarray(ctx.nx).reshape(K, n_faces, n_fp)
+    ny = np.asarray(ctx.ny).reshape(K, n_faces, n_fp)
+    fscale = np.asarray(ctx.fscale).reshape(K, n_faces, n_fp)
+    vmapM = np.asarray(ctx.vmapM).reshape(K, n_faces, n_fp)
+    vmapP = np.asarray(ctx.vmapP).reshape(K, n_faces, n_fp)
+
+    # 1D edge mass matrices on each face's nodes
+    r = np.asarray(ctx.r)
+    s = np.asarray(ctx.s)
+    from ..specgrid.vandermonde import vandermonde_1d
+
+    face_coord = (r, r, s)
+    mass_edge = []
+    for f in range(n_faces):
+        fr = face_coord[f][fmask[f]]
+        v1d = vandermonde_1d(ctx.n_order, fr)
+        mass_edge.append(np.linalg.inv(v1d @ v1d.T))
+
+    rows, cols, vals = [], [], []
+    mrows, mcols, mvals = [], [], []
+
+    bc = None  # Dirichlet iff boundary (vmapP == vmapM)
+
+    for k in range(K):
+        Dx = rx[k, 0] * Dr + sx[k, 0] * Ds  # affine elements: constant metric
+        Dy = ry[k, 0] * Dr + sy[k, 0] * Ds
+        OP11 = J[k, 0] * (Dx.T @ M @ Dx + Dy.T @ M @ Dy)
+
+        gids = k * n_p + np.arange(n_p)
+        for f in range(n_faces):
+            fm = fmask[f]
+            ndotdx = nx[k, f, 0] * Dx[fm, :] + ny[k, f, 0] * Dy[fm, :]
+            fsJ = sJ[k, f, 0]
+            mass_f = mass_edge[f] * fsJ
+
+            hinv = fscale[k, f, 0]
+            gtau = 100.0**2 * 2.0 * (ctx.n_order + 1) ** 2 * hinv
+
+            is_boundary = np.all(vmapP[k, f, :] == vmapM[k, f, :])
+            if is_boundary:
+                # Dirichlet face (reference treats Wall as homogeneous
+                # Dirichlet): consistency terms at full weight.
+                OP11[np.ix_(fm, fm)] += gtau * mass_f
+                OP11[fm, :] -= mass_f @ ndotdx
+                OP11[:, fm] -= ndotdx.T @ mass_f
+            else:
+                k2 = vmapP[k, f, 0] // n_p
+                # neighbor face id: find which face of k2 matches
+                fm2_nodes = vmapP[k, f, :] - k2 * n_p
+                Dx2 = rx[k2, 0] * Dr + sx[k2, 0] * Ds
+                Dy2 = ry[k2, 0] * Dr + sy[k2, 0] * Ds
+                ndotdx2 = nx[k, f, 0] * Dx2[fm2_nodes, :] + ny[k, f, 0] * Dy2[fm2_nodes, :]
+
+                OP11[np.ix_(fm, fm)] += gtau * mass_f
+                OP11[fm, :] -= 0.5 * (mass_f @ ndotdx)
+                OP11[:, fm] -= 0.5 * (ndotdx.T @ mass_f)
+
+                # coupling block: penalty -gtau [u][v], consistency
+                # -1/2 (n.grad u+) v-, symmetry +1/2 (n.grad v-) u+
+                OP12 = np.zeros((n_p, n_p))
+                OP12[np.ix_(fm, fm2_nodes)] = -gtau * mass_f
+                OP12[fm, :] -= 0.5 * (mass_f @ ndotdx2)
+                OP12[:, fm2_nodes] += 0.5 * (ndotdx.T @ mass_f)
+
+                gids2 = k2 * n_p + np.arange(n_p)
+                rows.append(np.repeat(gids, n_p))
+                cols.append(np.tile(gids2, n_p))
+                vals.append(OP12.reshape(-1))
+
+        rows.append(np.repeat(gids, n_p))
+        cols.append(np.tile(gids, n_p))
+        vals.append(OP11.reshape(-1))
+
+        MMk = J[k, 0] * M
+        mrows.append(np.repeat(gids, n_p))
+        mcols.append(np.tile(gids, n_p))
+        mvals.append(MMk.reshape(-1))
+
+    n = K * n_p
+    shape = (n + 1, n + 1) if bordered else (n, n)
+    if bordered:
+        ones = np.arange(n)
+        rows.append(np.full(n, n))
+        cols.append(ones)
+        vals.append(np.ones(n))
+        rows.append(ones)
+        cols.append(np.full(n, n))
+        vals.append(np.ones(n))
+    OP = sp.csr_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=shape,
+    )
+    MM = sp.csr_matrix(
+        (np.concatenate(mvals), (np.concatenate(mrows), np.concatenate(mcols))),
+        shape=(n, n),
+    )
+    return OP, MM

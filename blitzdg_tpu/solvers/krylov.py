@@ -1,0 +1,170 @@
+"""Matrix-free Krylov solvers in pure JAX: CG and restarted GMRES.
+
+Device-resident replacements for the reference's header-only GMRES
+(/root/reference/include/GMRESSolver.hpp:212-430: right-preconditioned
+restarts, modified Gram-Schmidt, Givens-free least-squares finish, ConvFlag
+taxonomy) and for the LAPACK/UMFPACK direct solvers it leans on.
+
+Design notes (TPU-first):
+ - everything is `lax.while_loop`/`fori_loop` with static shapes; the
+   Krylov basis is a dense (m+1, n) array living in HBM;
+ - dot products are `jnp.vdot` — under pjit sharding XLA lowers them to
+   `psum` over the element axis automatically (SURVEY.md §2.9);
+ - solvers operate on flat vectors; callers flatten (K, Np) fields; batch
+   over scenarios with `jax.vmap`;
+ - convergence bookkeeping mirrors the reference ConvFlag taxonomy where it
+   is meaningful for fixed-shape execution (converged / maxits / breakdown).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# Convergence flags (reference analog: GMRESSolver.hpp:64-75).
+CONV_SUCCESS = 0
+CONV_MAXITS = 1
+CONV_BREAKDOWN = 2
+CONV_INF_OR_NAN = 3
+
+
+class SolveResult(NamedTuple):
+    x: jnp.ndarray
+    iters: jnp.ndarray  # iterations (CG) or outer restarts (GMRES)
+    relres: jnp.ndarray
+    flag: jnp.ndarray
+
+
+def cg(
+    matvec: Callable,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    *,
+    tol: float = 1e-6,
+    maxiter: int = 1000,
+    precon: Callable | None = None,
+) -> SolveResult:
+    """Preconditioned conjugate gradients for SPD operators."""
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if precon is None:
+        precon = lambda v: v
+
+    bnorm = jnp.linalg.norm(b)
+    bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
+
+    r0 = b - matvec(x0)
+    z0 = precon(r0)
+    state0 = (x0, r0, z0, z0, jnp.vdot(r0, z0), jnp.asarray(0))
+
+    def cond(state):
+        _, r, *_, it = state
+        return (jnp.linalg.norm(r) / bnorm > tol) & (it < maxiter)
+
+    def body(state):
+        x, r, z, p, rz, it = state
+        Ap = matvec(p)
+        alpha = rz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precon(r)
+        rz_new = jnp.vdot(r, z)
+        p = z + (rz_new / rz) * p
+        return (x, r, z, p, rz_new, it + 1)
+
+    x, r, *_, it = jax.lax.while_loop(cond, body, state0)
+    relres = jnp.linalg.norm(r) / bnorm
+    flag = jnp.where(
+        relres <= tol,
+        CONV_SUCCESS,
+        jnp.where(jnp.isfinite(relres), CONV_MAXITS, CONV_INF_OR_NAN),
+    )
+    return SolveResult(x=x, iters=it, relres=relres, flag=flag)
+
+
+def gmres(
+    matvec: Callable,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    *,
+    tol: float = 1e-6,
+    restart: int = 30,
+    maxiter: int = 100,
+    precon: Callable | None = None,
+) -> SolveResult:
+    """Right-preconditioned restarted GMRES(m).
+
+    Arnoldi with modified Gram-Schmidt; the small (m+1, m) Hessenberg least
+    squares is solved densely per cycle (tiny, stays on device). ``maxiter``
+    counts outer restart cycles (reference default kspaceSz=30, maxits=100,
+    relTol=1e-6 — GMRESSolver.hpp:94-108).
+    """
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if precon is None:
+        precon = lambda v: v
+
+    n = b.shape[0]
+    m = restart
+    dtype = b.dtype
+
+    bnorm = jnp.linalg.norm(b)
+    bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
+
+    def arnoldi_cycle(x):
+        r = b - matvec(x)
+        beta = jnp.linalg.norm(r)
+
+        V = jnp.zeros((m + 1, n), dtype=dtype)
+        H = jnp.zeros((m + 1, m), dtype=dtype)
+        V = V.at[0].set(r / jnp.where(beta > 0, beta, 1.0))
+
+        def arnoldi_step(j, carry):
+            V, H = carry
+            w = matvec(precon(V[j]))
+            # modified Gram-Schmidt against all basis vectors (masked > j)
+            def mgs(i, wh):
+                w, H = wh
+                hij = jnp.where(i <= j, jnp.vdot(V[i], w), 0.0)
+                w = w - hij * V[i]
+                H = H.at[i, j].set(hij)
+                return (w, H)
+
+            w, H = jax.lax.fori_loop(0, m + 1, mgs, (w, H))
+            hnext = jnp.linalg.norm(w)
+            H = H.at[j + 1, j].set(hnext)
+            V = V.at[j + 1].set(w / jnp.where(hnext > 1e-30, hnext, 1.0))
+            return (V, H)
+
+        V, H = jax.lax.fori_loop(0, m, arnoldi_step, (V, H))
+
+        # least squares: min || beta e1 - H y ||
+        e1 = jnp.zeros((m + 1,), dtype=dtype).at[0].set(beta)
+        y = jnp.linalg.lstsq(H, e1)[0]
+        dx = precon(V[:m].T @ y)
+        x_new = x + dx
+        res = jnp.linalg.norm(b - matvec(x_new))
+        return x_new, res
+
+    res0 = jnp.linalg.norm(b - matvec(x0))
+    state0 = (x0, res0, jnp.asarray(0))
+
+    def cond(state):
+        _, res, it = state
+        return (res / bnorm > tol) & (it < maxiter) & jnp.isfinite(res)
+
+    def body(state):
+        x, _, it = state
+        x, res = arnoldi_cycle(x)
+        return (x, res, it + 1)
+
+    x, res, it = jax.lax.while_loop(cond, body, state0)
+    relres = res / bnorm
+    flag = jnp.where(
+        relres <= tol,
+        CONV_SUCCESS,
+        jnp.where(jnp.isfinite(relres), CONV_MAXITS, CONV_INF_OR_NAN),
+    )
+    return SolveResult(x=x, iters=it, relres=relres, flag=flag)

@@ -74,7 +74,10 @@ def build_nodes1d(
             vmapP[k, 1] = vmapM[k, 1]
             mapP[k, 1] = k * 2 + 1
 
-    to_dev = lambda a: jnp.asarray(a, dtype=dtype)
+    if dtype is None:  # host-only context (numpy f64; for oracles/assembly)
+        to_dev = lambda a: np.asarray(a, dtype=np.float64)
+    else:
+        to_dev = lambda a: jnp.asarray(a, dtype=dtype)
     return DGContext1D(
         n_order=n_order,
         n_p=n_p,

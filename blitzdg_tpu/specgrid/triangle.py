@@ -404,7 +404,10 @@ def build_triangle_context(
         else np.eye(n_p)
     )
 
-    to_dev = lambda a: jnp.asarray(a, dtype=dtype)
+    if dtype is None:  # host-only context (numpy f64; for oracles/assembly)
+        to_dev = lambda a: np.asarray(a, dtype=np.float64)
+    else:
+        to_dev = lambda a: jnp.asarray(a, dtype=dtype)
     return DGContext2D(
         n_order=n_order,
         n_p=n_p,
