@@ -1,103 +1,160 @@
 #!/usr/bin/env python
-"""Headline benchmark: batched DG rollouts/s per chip vs. single-thread CPU.
+"""Headline benchmark: sw2d MPC solves/s per chip (north-star metric).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The reference publishes no numbers (BASELINE.md), so the baseline here is a
-faithful single-threaded numpy implementation of the same solve — the
-reference's own Python driver (advec1d.py) demonstrates numpy parity with
-the C++ core, making numpy-rollouts/s an honest stand-in for the CPU
-reference throughput. The TPU number is batched scenario rollouts/s for the
-flagship model available (sw2d shallow-water MPC core once present, else
-advec1d).
+One "MPC solve" = a full shooting optimization (Adam, fixed iterations) of a
+control sequence over the shallow-water DG dynamics on the reference
+coarse_box workload (N=1, K=40 triangles — src/sw2d/main.cpp:56-66), batched
+over independent scenarios on one chip.
+
+The reference publishes no numbers (BASELINE.md) and has no MPC layer, so
+the baseline is a single-threaded numpy model of the same solve: the
+measured cost of one numpy forward rollout times the rollouts an adjoint
+gradient method needs (iters * (1 forward + ~2x-forward adjoint)). This is
+charitable to the CPU (assumes a perfect hand-written adjoint).
 """
 import json
+import os
 import time
 
 import numpy as np
 
+HORIZON = 8  # control steps
+STEPS_PER_CONTROL = 4  # SSP-RK2 steps per control step
+ITERS = 20  # Adam iterations per MPC solve
+BATCH = 512  # scenarios per chip
+DT = 2e-3
 
-def _numpy_advec_rollout(ctx_np, c, dt, num_steps):
-    """Single-threaded numpy LSERK4 advection rollout (CPU baseline)."""
-    from blitzdg_tpu.timestepping import LSERK4_A, LSERK4_B
 
-    Dr = ctx_np["Dr"]
-    rx = ctx_np["rx"]
-    lift = ctx_np["lift"]
-    fscale = ctx_np["fscale"]
-    nx = ctx_np["nx"].reshape(-1)
-    vmapM = ctx_np["vmapM"].reshape(-1)
-    vmapP = ctx_np["vmapP"].reshape(-1)
-    mapI, mapO = ctx_np["mapI"], ctx_np["mapO"]
-    K, Np = rx.shape
+def numpy_forward_rollout_time(ctx, reps=3):
+    """Single-threaded numpy SSP-RK2 sw2d rollout (the CPU reference model).
+    Mirrors the reference computeRHS data flow (gathers + flux algebra +
+    BLAS GEMMs) in plain numpy, f64, one scenario."""
+    K, n_p = ctx.k_elem, ctx.n_p
+    n_tr = ctx.n_faces * ctx.n_fp
+    Dr, Ds = np.asarray(ctx.Dr), np.asarray(ctx.Ds)
+    lift = np.asarray(ctx.lift)
+    rx, sx = np.asarray(ctx.rx), np.asarray(ctx.sx)
+    ry, sy = np.asarray(ctx.ry), np.asarray(ctx.sy)
+    nx, ny = np.asarray(ctx.nx).reshape(-1), np.asarray(ctx.ny).reshape(-1)
+    fscale = np.asarray(ctx.fscale)
+    filt = np.asarray(ctx.filter)
+    vmapM = np.asarray(ctx.vmapM).reshape(-1)
+    vmapP = np.asarray(ctx.vmapP).reshape(-1)
+    wall = np.asarray(ctx.mapB)[np.asarray(ctx.maskB)]
+    g = 9.81
 
-    u = np.exp(-10.0 * ctx_np["x"] ** 2)
-    res = np.zeros_like(u)
-    cn = c * nx
-    fac = 0.5 * (cn - np.abs(cn))
-    for _ in range(num_steps):
-        for a, b in zip(LSERK4_A, LSERK4_B):
-            uf = u.reshape(-1)
-            uM = uf[vmapM]
-            uP = uf[vmapP].copy()
-            uP[mapO] = uM[mapO]
-            uP[mapI] = 0.0
-            du = ((uM - uP) * fac).reshape(K, -1)
-            rhs = -c * rx * (u @ Dr.T) + (fscale * du) @ lift.T
-            res = a * res + dt * rhs
-            u = u + b * res
-    return u
+    x = np.asarray(ctx.x)
+    h = 10.0 + np.exp(-10.0 * (x**2))
+    hu = np.zeros_like(h)
+    hv = np.zeros_like(h)
+
+    def rhs(h, hu, hv):
+        out = []
+        hf, huf, hvf = h.reshape(-1), hu.reshape(-1), hv.reshape(-1)
+        hM, hP = hf[vmapM], hf[vmapP].copy()
+        huM, huP = huf[vmapM], huf[vmapP].copy()
+        hvM, hvP = hvf[vmapM], hvf[vmapP].copy()
+        un2 = 2.0 * (huM[wall] * nx[wall] + hvM[wall] * ny[wall])
+        huP[wall] = huM[wall] - un2 * nx[wall]
+        hvP[wall] = hvM[wall] - un2 * ny[wall]
+        dh, dhu, dhv = hM - hP, huM - huP, hvM - hvP
+
+        def flux(hh, hhu, hhv):
+            inv = 1.0 / hh
+            return (hhu, hhu * hhu * inv + 0.5 * g * hh * hh, hhu * hhv * inv,
+                    hhv, hhu * hhv * inv, hhv * hhv * inv + 0.5 * g * hh * hh)
+
+        F1M, F2M, F3M, G1M, G2M, G3M = flux(hM, huM, hvM)
+        F1P, F2P, F3P, G1P, G2P, G3P = flux(hP, huP, hvP)
+        spdM = np.sqrt((huM / hM) ** 2 + (hvM / hM) ** 2) + np.sqrt(g * hM)
+        spdP = np.sqrt((huP / hP) ** 2 + (hvP / hP) ** 2) + np.sqrt(g * hP)
+        lam = np.maximum(spdM, spdP).reshape(-1, ctx.n_fp).max(axis=1, keepdims=True)
+        lam = np.broadcast_to(lam, (lam.shape[0], ctx.n_fp)).reshape(-1)
+        d1 = 0.5 * ((F1M - F1P) * nx + (G1M - G1P) * ny - lam * dh)
+        d2 = 0.5 * ((F2M - F2P) * nx + (G2M - G2P) * ny - lam * dhu)
+        d3 = 0.5 * ((F3M - F3P) * nx + (G3M - G3P) * ny - lam * dhv)
+        F1, F2, F3, G1, G2, G3 = flux(h, hu, hv)
+        div = lambda F, G: (rx * (F @ Dr.T) + sx * (F @ Ds.T)
+                            + ry * (G @ Dr.T) + sy * (G @ Ds.T))
+        surf = lambda d: (fscale * d.reshape(K, n_tr)) @ lift.T
+        out.append(-div(F1, G1) + surf(d1))
+        out.append(-div(F2, G2) + surf(d2))
+        out.append(-div(F3, G3) + surf(d3))
+        return [o @ filt.T for o in out]
+
+    n_steps = HORIZON * STEPS_PER_CONTROL
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        hh, huu, hvv = h.copy(), hu.copy(), hv.copy()
+        for _ in range(n_steps):
+            r1, r2, r3 = rhs(hh, huu, hvv)
+            h1, hu1, hv1 = hh + 0.5 * DT * r1, huu + 0.5 * DT * r2, hvv + 0.5 * DT * r3
+            r1, r2, r3 = rhs(h1, hu1, hv1)
+            hh, huu, hvv = hh + DT * r1, huu + DT * r2, hvv + DT * r3
+    return (time.perf_counter() - t0) / reps
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from blitzdg_tpu.ops.advec1d import advec1d_rhs
-    from blitzdg_tpu.specgrid.nodes1d import build_nodes1d
-    from blitzdg_tpu.timestepping import integrate, lserk4_step
+    from blitzdg_tpu.mesh import box_triangles, read_gmsh
+    from blitzdg_tpu.mpc import MPCProblem, solve_mpc
+    from blitzdg_tpu.ops.sw2d import SWPhysics, SWState
+    from blitzdg_tpu.specgrid.triangle import build_triangle_context
 
-    # Reference advec1d config (src/advec1d/main.cpp:38-48).
-    N, K, c, CFL = 4, 30, 0.1, 0.8
-    ctx = build_nodes1d(N, K, -1.0, 4.0, dtype=jnp.float32)
-    x = np.asarray(ctx.x)
-    dt = CFL * (x[0, 1] - x[0, 0]) / abs(c)
-    num_steps = int(np.ceil(20.0 / dt))  # T=20 horizon, 1253 steps
+    ref = "/root/reference/input/coarse_box.msh"
+    mesh = read_gmsh(ref) if os.path.exists(ref) else box_triangles(4, 5)
+    N = 1
 
-    # ---- CPU baseline: single rollout, single thread (numpy f64) ----
-    ctx64 = build_nodes1d(N, K, -1.0, 4.0, dtype=jnp.float32)
-    ctx_np = {
-        k: np.asarray(getattr(ctx64, k), dtype=np.float64 if k not in ("vmapM", "vmapP") else np.int32)
-        for k in ("Dr", "rx", "lift", "fscale", "nx", "x", "vmapM", "vmapP")
-    }
-    ctx_np["mapI"], ctx_np["mapO"] = ctx64.mapI, ctx64.mapO
-    t0 = time.perf_counter()
-    _numpy_advec_rollout(ctx_np, c, dt, num_steps)
-    cpu_time = time.perf_counter() - t0
-    cpu_solves_per_s = 1.0 / cpu_time
+    ctx = build_triangle_context(N, mesh, filter_cutoff=0.9 * N, filter_order=N,
+                                 dtype=jnp.float32)
+    ctx_host = build_triangle_context(N, mesh, filter_cutoff=0.9 * N,
+                                      filter_order=N, dtype=None)
+    phys = SWPhysics(g=9.81)
+    prob = MPCProblem(ctx=ctx, phys=phys, dt=DT, horizon=HORIZON,
+                      steps_per_control=STEPS_PER_CONTROL,
+                      q_eta=0.0, q_terminal=1.0, r_control=1e-10)
 
-    # ---- TPU: batched scenario rollouts (vmap over initial conditions) ----
-    batch = 1024
-    shifts = jnp.linspace(-0.5, 0.5, batch)
-    u0 = jax.vmap(lambda s: jnp.exp(-10.0 * (ctx.x - s) ** 2).astype(jnp.float32))(shifts)
+    def forcing(c, control, state, t):
+        bump = jnp.exp(-8.0 * (c.x**2 + c.y**2)).astype(state.h.dtype)
+        return jnp.zeros_like(state.h), control[0] * bump, control[1] * bump
 
-    rhs = lambda u, t: advec1d_rhs(ctx, u, t, c)
-    rollout = jax.jit(
-        jax.vmap(lambda u: integrate(lserk4_step, rhs, u, 0.0, dt, num_steps))
+    # scenario batch: shifted target bumps
+    h0 = jnp.full((ctx.k_elem, ctx.n_p), 10.0, dtype=jnp.float32)
+    state0 = SWState(h=h0, hu=jnp.zeros_like(h0), hv=jnp.zeros_like(h0))
+    states = jax.tree.map(lambda a: jnp.broadcast_to(a, (BATCH,) + a.shape), state0)
+    offs = jnp.linspace(-0.3, 0.3, BATCH, dtype=jnp.float32)
+    targets = jax.vmap(
+        lambda o: 1e-3 * jnp.exp(-5.0 * ((ctx.x - o) ** 2 + ctx.y**2))
+    )(offs).astype(jnp.float32)
+
+    solve = jax.jit(
+        jax.vmap(
+            lambda s, tg: solve_mpc(prob, s, tg, forcing, 2, iters=ITERS,
+                                    learning_rate=0.05).cost
+        )
     )
-    rollout(u0)[0].block_until_ready()  # compile
+    solve(states, targets).block_until_ready()  # compile
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = rollout(u0)
+        out = solve(states, targets)
     out.block_until_ready()
     tpu_time = (time.perf_counter() - t0) / reps
-    tpu_solves_per_s = batch / tpu_time
+    tpu_solves_per_s = BATCH / tpu_time
+
+    # CPU baseline: iters * (forward + adjoint ~ 2x forward) rollouts
+    fwd = numpy_forward_rollout_time(ctx_host)
+    cpu_solve_time = ITERS * 3.0 * fwd
+    cpu_solves_per_s = 1.0 / cpu_solve_time
 
     print(
         json.dumps(
             {
-                "metric": "advec1d_rollouts_per_s_per_chip",
+                "metric": "sw2d_mpc_solves_per_s_per_chip",
                 "value": round(tpu_solves_per_s, 2),
                 "unit": "solves/s",
                 "vs_baseline": round(tpu_solves_per_s / cpu_solves_per_s, 2),

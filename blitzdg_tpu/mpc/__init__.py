@@ -1,0 +1,11 @@
+from .problem import MPCProblem, mpc_cost, rollout_controls
+from .solver import MPCSolution, receding_horizon, solve_mpc
+
+__all__ = [
+    "MPCProblem",
+    "mpc_cost",
+    "rollout_controls",
+    "MPCSolution",
+    "solve_mpc",
+    "receding_horizon",
+]
