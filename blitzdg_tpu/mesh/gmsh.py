@@ -168,7 +168,7 @@ def write_gmsh(path: str, mesh: Mesh2D) -> None:
         f.write("$MeshFormat\n2.2 0 8\n$EndMeshFormat\n")
         f.write(f"$Nodes\n{mesh.num_verts}\n")
         for n, (x, y) in enumerate(mesh.verts, start=1):
-            f.write(f"{n} {x!r} {y!r} 0\n")
+            f.write(f"{n} {float(x):.17g} {float(y):.17g} 0\n")
         f.write("$EndNodes\n$Elements\n")
         n_lines = 0 if mesh.boundary_lines is None else len(mesh.boundary_lines)
         f.write(f"{mesh.num_elements + n_lines}\n")

@@ -1,0 +1,81 @@
+"""IO tests: VTK writer structure, CSV round trip, checkpoint round trip,
+Gmsh writer round trip."""
+import os
+import xml.etree.ElementTree as ET
+
+import jax.numpy as jnp
+import numpy as np
+
+from blitzdg_tpu.io.checkpoint import restore_checkpoint, save_checkpoint
+from blitzdg_tpu.io.csv import read_field, write_field
+from blitzdg_tpu.io.vtk import split_quad_indices, split_triangle_indices, write_vtu
+from blitzdg_tpu.mesh import box_quads, box_triangles, read_gmsh, write_gmsh
+from blitzdg_tpu.ops.sw2d import SWState
+from blitzdg_tpu.specgrid.quad import build_quad_context
+from blitzdg_tpu.specgrid.triangle import build_triangle_context
+
+
+def test_split_triangle_counts():
+    for N in [1, 2, 4]:
+        sub = split_triangle_indices(N)
+        assert len(sub) == N * N  # degree-N triangle -> N^2 linear tris
+        n_p = (N + 1) * (N + 2) // 2
+        assert sub.max() == n_p - 1 and sub.min() == 0
+
+
+def test_split_quad_counts():
+    for N in [1, 3]:
+        sub = split_quad_indices(N)
+        assert len(sub) == N * N
+        assert sub.max() == (N + 1) ** 2 - 1
+
+
+def test_write_vtu_triangles(tmp_path):
+    ctx = build_triangle_context(3, box_triangles(2, 2))
+    u = np.asarray(jnp.sin(ctx.x) * jnp.cos(ctx.y))
+    path = str(tmp_path / "u.vtu")
+    write_vtu(path, ctx, {"u": u, "x": np.asarray(ctx.x)})
+    tree = ET.parse(path)
+    piece = tree.getroot().find(".//Piece")
+    assert int(piece.get("NumberOfPoints")) == ctx.k_elem * ctx.n_p
+    assert int(piece.get("NumberOfCells")) == ctx.k_elem * 9  # N=3 -> 9 sub-tris
+    names = [d.get("Name") for d in piece.find("PointData")]
+    assert set(names) == {"u", "x"}
+
+
+def test_write_vtu_quads(tmp_path):
+    ctx = build_quad_context(2, box_quads(2, 2))
+    path = str(tmp_path / "q.vtu")
+    write_vtu(path, ctx, {"u": np.asarray(ctx.x)})
+    tree = ET.parse(path)
+    piece = tree.getroot().find(".//Piece")
+    assert int(piece.get("NumberOfCells")) == 4 * 4
+
+
+def test_csv_roundtrip(tmp_path):
+    a = np.random.default_rng(0).normal(size=(5, 7))
+    p = str(tmp_path / "f.dat")
+    write_field(p, a)
+    np.testing.assert_allclose(read_field(p), a, atol=0)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = SWState(
+        h=jnp.ones((4, 3)) * 10, hu=jnp.arange(12.0).reshape(4, 3), hv=jnp.zeros((4, 3))
+    )
+    p = str(tmp_path / "ckpt.npz")
+    save_checkpoint(p, state, step=42, t=1.5, meta={"note": "x"})
+    out, step, t, extra = restore_checkpoint(p, state)
+    assert step == 42 and t == 1.5 and extra["note"] == "x"
+    np.testing.assert_allclose(np.asarray(out.hu), np.asarray(state.hu))
+
+
+def test_gmsh_roundtrip(tmp_path):
+    mesh = box_triangles(3, 2)
+    p = str(tmp_path / "m.msh")
+    write_gmsh(p, mesh)
+    mesh2 = read_gmsh(p)
+    np.testing.assert_allclose(mesh2.verts, mesh.verts)
+    np.testing.assert_array_equal(mesh2.etov, mesh.etov)
+    np.testing.assert_array_equal(mesh2.etoe, mesh.etoe)
+    np.testing.assert_array_equal(mesh2.bc_type, mesh.bc_type)
