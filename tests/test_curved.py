@@ -1,0 +1,212 @@
+"""Curved-element pipeline tests: cubature rules, cubature/Gauss contexts,
+Gordon-Hall deformation, curved sw2d RHS, limiters, periodic maps."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blitzdg_tpu.mesh import box_triangles, disk_triangles
+from blitzdg_tpu.mesh.curved import circle_projection, gordon_hall_deform, snap_boundary_vertices
+from blitzdg_tpu.mesh.periodic import make_periodic
+from blitzdg_tpu.ops.limiters import minmod, positivity_preserving_limiter, surface_reconstruction
+from blitzdg_tpu.ops.sw2d import SWPhysics
+from blitzdg_tpu.ops.sw2d_curved import SWStateTracer, sw2d_curved_rhs
+from blitzdg_tpu.specgrid.cubature import (
+    build_cubature_context,
+    build_gauss_face_context,
+    triangle_cubature,
+)
+from blitzdg_tpu.specgrid.triangle import build_triangle_context, triangle_nodes, vandermonde_2d
+from blitzdg_tpu.timestepping import ssprk2_step
+
+
+class TestCubatureRules:
+    def test_exactness(self):
+        """Integrates r^p s^q over the reference triangle exactly."""
+        from math import gamma
+
+        def exact(p, q):
+            # int over T={r,s>=-1, r+s<=0} of r^p s^q via affine map to unit
+            # triangle; compute numerically with high-order rule instead:
+            r, s, w = triangle_cubature(40)
+            return float(np.sum(w * r**p * s**q))
+
+        for order in [4, 9, 14]:
+            r, s, w = triangle_cubature(order)
+            assert np.all(w > 0)
+            np.testing.assert_allclose(w.sum(), 2.0, rtol=1e-13)
+            for p in range(order + 1):
+                for q in range(order + 1 - p):
+                    val = float(np.sum(w * r**p * s**q))
+                    np.testing.assert_allclose(val, exact(p, q), atol=1e-12)
+
+
+class TestCubatureContext:
+    def test_straight_mesh_area_and_mass(self):
+        mesh = box_triangles(3, 3)
+        ctx = build_triangle_context(3, mesh, dtype=None)
+        cub = build_cubature_context(3, mesh, ctx.x, ctx.y, ctx.V, dtype=None)
+        np.testing.assert_allclose(cub.W.sum(), 4.0, rtol=1e-12)  # box area
+        # MM matches the affine mass J * M for straight elements
+        M = np.linalg.inv(ctx.V @ ctx.V.T)
+        for k in [0, 5]:
+            np.testing.assert_allclose(cub.MM[k], ctx.J[k, 0] * M, atol=1e-12)
+        # MMinv really inverts MM
+        ident = np.einsum("kij,kjl->kil", cub.MMinv, cub.MM)
+        np.testing.assert_allclose(ident, np.broadcast_to(np.eye(ctx.n_p), ident.shape), atol=1e-9)
+
+    def test_gauss_face_context_straight(self):
+        mesh = box_triangles(3, 3)
+        ctx = build_triangle_context(2, mesh, dtype=None)
+        gauss = build_gauss_face_context(2, mesh, ctx.x, ctx.y, ctx.V, dtype=None)
+        # maps: coordinates match across faces
+        xg = np.asarray(gauss.x).reshape(-1)
+        yg = np.asarray(gauss.y).reshape(-1)
+        mM = np.asarray(gauss.mapM).reshape(-1)
+        mP = np.asarray(gauss.mapP).reshape(-1)
+        np.testing.assert_allclose(xg[mM], xg[mP], atol=1e-12)
+        np.testing.assert_allclose(yg[mM], yg[mP], atol=1e-12)
+        # unit normals; total boundary length = 8 for the [-1,1]^2 box
+        np.testing.assert_allclose(
+            np.asarray(gauss.nx) ** 2 + np.asarray(gauss.ny) ** 2, 1.0, atol=1e-12
+        )
+        W = np.asarray(gauss.W).reshape(-1)
+        boundary = mM == mP
+        np.testing.assert_allclose(W[boundary].sum(), 8.0, rtol=1e-12)
+
+
+class TestCurvedDeformation:
+    def test_disk_area_improves(self):
+        """Curving the boundary makes the disk area converge to pi r^2."""
+        N = 4
+        mesh = disk_triangles(3, radius=1.0)
+        ctx0 = build_triangle_context(N, mesh, dtype=None)
+        area_straight = float(
+            np.sum(np.linalg.inv(ctx0.V @ ctx0.V.T).sum(axis=0)[None, :] * ctx0.J)
+        )
+
+        proj = circle_projection(0.0, 0.0, 1.0)
+        curved_faces = snap_boundary_vertices(mesh, proj, tol=0.2)
+        assert len(curved_faces) > 0
+        ctx1 = build_triangle_context(N, mesh, dtype=None)  # verts snapped
+        x2, y2, curved_els = gordon_hall_deform(
+            N, mesh, ctx1.x, ctx1.y, curved_faces, proj
+        )
+        cub = build_cubature_context(N, mesh, x2, y2, ctx1.V, dtype=None)
+        area_curved = float(cub.W.sum())
+        err_straight = abs(area_straight - np.pi)
+        err_curved = abs(area_curved - np.pi)
+        assert err_curved < err_straight * 0.05, (err_straight, err_curved)
+
+    def test_curved_boundary_nodes_on_circle(self):
+        N = 3
+        mesh = disk_triangles(2, radius=1.0)
+        proj = circle_projection(0.0, 0.0, 1.0)
+        curved_faces = snap_boundary_vertices(mesh, proj, tol=0.3)
+        ctx = build_triangle_context(N, mesh, dtype=None)
+        x2, y2, curved_els = gordon_hall_deform(N, mesh, ctx.x, ctx.y, curved_faces, proj)
+        fmask = np.asarray(ctx.fmask)
+        for (k, f) in curved_faces:
+            rr = np.hypot(x2[k, fmask[f]], y2[k, fmask[f]])
+            np.testing.assert_allclose(rr, 1.0, atol=1e-12)
+
+
+class TestCurvedSW:
+    def _setup(self, N=3):
+        mesh = disk_triangles(2, radius=1.0)
+        proj = circle_projection(0.0, 0.0, 1.0)
+        curved_faces = snap_boundary_vertices(mesh, proj, tol=0.3)
+        ctx_host = build_triangle_context(N, mesh, dtype=None)
+        x2, y2, _ = gordon_hall_deform(N, mesh, ctx_host.x, ctx_host.y, curved_faces, proj)
+        ctx = build_triangle_context(N, mesh, coords=(x2, y2))
+        cub = build_cubature_context(N, mesh, x2, y2, ctx_host.V)
+        gauss = build_gauss_face_context(N, mesh, x2, y2, ctx_host.V)
+        return ctx, cub, gauss
+
+    def test_lake_at_rest(self):
+        ctx, cub, gauss = self._setup()
+        K, n_p = ctx.k_elem, ctx.n_p
+        state = SWStateTracer(
+            h=jnp.full((K, n_p), 10.0),
+            hu=jnp.zeros((K, n_p)),
+            hv=jnp.zeros((K, n_p)),
+            hN=jnp.zeros((K, n_p)),
+        )
+        rhs = sw2d_curved_rhs(ctx, cub, gauss, state, 0.0, SWPhysics(g=9.81))
+        np.testing.assert_allclose(np.asarray(rhs.h), 0.0, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(rhs.hu), 0.0, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(rhs.hv), 0.0, atol=1e-7)
+
+    def test_stable_evolution_and_mass(self):
+        ctx, cub, gauss = self._setup()
+        K, n_p = ctx.k_elem, ctx.n_p
+        eta = 0.1 * jnp.exp(-5.0 * (ctx.x**2 + ctx.y**2))
+        state = SWStateTracer(h=10.0 + eta, hu=jnp.zeros_like(eta),
+                              hv=jnp.zeros_like(eta), hN=eta)
+        phys = SWPhysics(g=9.81)
+
+        # mass via cubature: sum over elements of W . (Vc h)
+        def mass(h):
+            return float(jnp.sum(cub.W * (h @ cub.V.T)))
+
+        m0 = mass(state.h)
+
+        @jax.jit
+        def run(s):
+            def body(carry, _):
+                st, t = carry
+                st = ssprk2_step(
+                    lambda ss, tt: sw2d_curved_rhs(ctx, cub, gauss, ss, tt, phys),
+                    st, t, 5e-4,
+                )
+                return (st, t + 5e-4), None
+            (s2, _), _ = jax.lax.scan(body, (s, 0.0), None, length=60)
+            return s2
+
+        out = run(state)
+        assert np.all(np.isfinite(np.asarray(out.h)))
+        np.testing.assert_allclose(mass(out.h), m0, rtol=1e-10)
+
+
+class TestLimiters:
+    def test_minmod(self):
+        a = jnp.array([1.0, -1.0, 2.0, -2.0, 0.5])
+        b = jnp.array([2.0, -2.0, 1.0, 1.0, 0.5])
+        out = np.asarray(minmod(a, b))
+        # reference semantics: smaller VALUE when signs agree (so -2 for
+        # the (-1,-2) pair), else 0
+        np.testing.assert_allclose(out, [1.0, -2.0, 1.0, 0.0, 0.0])
+
+    def test_positivity_limiter_floors_and_preserves_mean(self):
+        h = jnp.array([[1e-6, 0.5, 1.0, 0.5]])
+        hu = jnp.array([[0.1, 0.2, 0.3, 0.4]])
+        hv = jnp.zeros_like(hu)
+        h2, hu2, hv2 = positivity_preserving_limiter(h, hu, hv)
+        np.testing.assert_allclose(float(jnp.mean(h2)), float(jnp.mean(h)), rtol=1e-12)
+        assert float(h2.min()) > float(h.min())
+
+    def test_surface_reconstruction_floors(self):
+        etaM = jnp.array([0.0, 0.1])
+        hM = jnp.array([1.0, 1e-6])
+        etaP = jnp.array([0.0, 0.05])
+        hP = jnp.array([1.0, 1e-6])
+        hM2, hP2 = surface_reconstruction(etaM, hM, etaP, hP)
+        assert float(hM2.min()) >= 1e-3
+        assert float(hP2.min()) >= 1e-3
+
+
+def test_periodic_maps_box():
+    ctx = build_triangle_context(2, box_triangles(3, 3), dtype=None)
+    vmapM, vmapP, mapP = make_periodic(
+        {"x": ctx.x, "y": ctx.y, "vmapM": ctx.vmapM, "vmapP": ctx.vmapP,
+         "mapP": ctx.mapP},
+        axis="x", lo=-1.0, hi=1.0,
+    )
+    x = ctx.x.reshape(-1)
+    y = ctx.y.reshape(-1)
+    changed = vmapP.reshape(-1) != np.asarray(ctx.vmapP).reshape(-1)
+    assert changed.sum() > 0
+    vm = vmapM.reshape(-1)[changed]
+    vp = vmapP.reshape(-1)[changed]
+    # periodic partners: same y, x differing by the period
+    np.testing.assert_allclose(y[vm], y[vp], atol=1e-9)
+    np.testing.assert_allclose(np.abs(x[vm] - x[vp]), 2.0, atol=1e-9)
