@@ -44,3 +44,34 @@ def dg_op(fn):
             return fn(*args, **kwargs)
 
     return wrapped
+
+
+# ---------------------------------------------------------------------------
+# Namelist configuration files (reference ins2d analog)
+# ---------------------------------------------------------------------------
+
+def read_namelist(path: str) -> dict:
+    """Parse a KEY = value namelist file: '#' comments, blank lines ignored,
+    keys upper-cased (reference src/ins2d/main.cpp:58-102 format). Values
+    are returned as str; use typed accessors or cast at the call site."""
+    config = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = [p.strip() for p in line.split("=")]
+            if len(parts) != 2:
+                raise ValueError(f"cannot parse namelist line: {line!r}")
+            config[parts[0].upper()] = parts[1]
+    return config
+
+
+def namelist_get(config: dict, key: str, cast=str, default=None):
+    """Typed accessor with optional default."""
+    k = key.upper()
+    if k not in config:
+        if default is not None:
+            return default
+        raise KeyError(f"missing namelist key {k}")
+    return cast(config[k])

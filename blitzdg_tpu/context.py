@@ -165,6 +165,7 @@ class DGContext2D:
     maskB: jnp.ndarray
     vmapB: jnp.ndarray
     bc_maps: BCMaps
+    bc_table: jnp.ndarray  # (K, Nfaces) int32 raw face tag table
 
     # SEM assembly (gather/scatter over uniquetol'd global nodes)
     gather_ids: jnp.ndarray  # (n_unique,) first occurrence flat node ids

@@ -203,7 +203,7 @@ def assemble_poisson2d(ctx: DGContext2D, bordered: bool = False):
     rows, cols, vals = [], [], []
     mrows, mcols, mvals = [], [], []
 
-    bc = None  # Dirichlet iff boundary (vmapP == vmapM)
+    bc_table = np.asarray(ctx.bc_table) if ctx.bc_table is not None else None
 
     for k in range(K):
         Dx = rx[k, 0] * Dr + sx[k, 0] * Ds  # affine elements: constant metric
@@ -222,6 +222,10 @@ def assemble_poisson2d(ctx: DGContext2D, bordered: bool = False):
 
             is_boundary = np.all(vmapP[k, f, :] == vmapM[k, f, :])
             if is_boundary:
+                if bc_table is not None and bc_table[k, f] == BC_NEUMAN:
+                    # natural BC: no face terms in the operator; the flux
+                    # data enters through assemble_bc_rhs only
+                    continue
                 # Dirichlet face (reference treats Wall as homogeneous
                 # Dirichlet): consistency terms at full weight.
                 OP11[np.ix_(fm, fm)] += gtau * mass_f
@@ -279,3 +283,67 @@ def assemble_poisson2d(ctx: DGContext2D, bordered: bool = False):
         shape=(n, n),
     )
     return OP, MM
+
+
+def assemble_bc_rhs(
+    ctx: DGContext2D,
+    ubc: np.ndarray,
+    qbc: np.ndarray,
+    dirichlet_tags=(BC_WALL, BC_DIRICHLET),
+    neumann_tags=(BC_NEUMAN,),
+) -> np.ndarray:
+    """Boundary-data load vector for the assembled SIP operator.
+
+    Reference analog: Poisson2DSparseMatrix::buildBcRhs
+    (src/Poisson2DSparseMatrix.cpp:319-487). With prescribed Dirichlet trace
+    ``ubc`` and Neumann flux ``qbc`` (both (K, Nfaces*Nfp)), returns b with
+
+        OP u = MM f + b
+
+    consistent with :func:`assemble_poisson2d`'s conventions: Dirichlet
+    faces contribute the penalty + symmetry terms
+    int_f ubc (gtau v - n.grad v); Neumann faces contribute int_f qbc v.
+    """
+    K, n_p, n_fp, n_faces = ctx.k_elem, ctx.n_p, ctx.n_fp, ctx.n_faces
+    Dr, Ds = np.asarray(ctx.Dr), np.asarray(ctx.Ds)
+    fmask = np.asarray(ctx.fmask)
+    rx, ry = np.asarray(ctx.rx), np.asarray(ctx.ry)
+    sx, sy = np.asarray(ctx.sx), np.asarray(ctx.sy)
+    sJ = np.asarray(ctx.sJ).reshape(K, n_faces, n_fp)
+    nx = np.asarray(ctx.nx).reshape(K, n_faces, n_fp)
+    ny = np.asarray(ctx.ny).reshape(K, n_faces, n_fp)
+    fscale = np.asarray(ctx.fscale).reshape(K, n_faces, n_fp)
+    bc_table = np.asarray(ctx.bc_table)
+    ubc = np.asarray(ubc).reshape(K, n_faces, n_fp)
+    qbc = np.asarray(qbc).reshape(K, n_faces, n_fp)
+
+    from ..specgrid.vandermonde import vandermonde_1d
+
+    r = np.asarray(ctx.r)
+    s = np.asarray(ctx.s)
+    face_coord = (r, r, s) if n_faces == 3 else (r, s, r, s)
+    mass_edge = []
+    for f in range(n_faces):
+        fr = face_coord[f][fmask[f]]
+        v1d = vandermonde_1d(ctx.n_order, fr)
+        mass_edge.append(np.linalg.inv(v1d @ v1d.T))
+
+    b = np.zeros((K, n_p))
+    for k in range(K):
+        Dx = rx[k, 0] * Dr + sx[k, 0] * Ds
+        Dy = ry[k, 0] * Dr + sy[k, 0] * Ds
+        for f in range(n_faces):
+            tag = bc_table[k, f]
+            if tag == 0:
+                continue
+            fm = fmask[f]
+            mass_f = mass_edge[f] * sJ[k, f, 0]
+            if tag in neumann_tags:
+                b[k, fm] += mass_f @ qbc[k, f]
+            elif tag in dirichlet_tags:
+                hinv = fscale[k, f, 0]
+                gtau = 100.0**2 * 2.0 * (ctx.n_order + 1) ** 2 * hinv
+                ndotdx = nx[k, f, 0] * Dx[fm, :] + ny[k, f, 0] * Dy[fm, :]
+                b[k, fm] += gtau * (mass_f @ ubc[k, f])
+                b[k, :] -= ndotdx.T @ (mass_f @ ubc[k, f])
+    return b

@@ -236,6 +236,7 @@ def build_quad_context(
         maskB=jnp.asarray(maskB),
         vmapB=jnp.asarray(vmapB),
         bc_maps=bc_maps,
+        bc_table=jnp.asarray(mesh.bc_type.astype(np.int32)),
         gather_ids=jnp.asarray(gather_ids.astype(np.int32)),
         scatter_ids=jnp.asarray(scatter_ids.astype(np.int32)),
     )
