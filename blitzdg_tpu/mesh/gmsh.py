@@ -17,7 +17,16 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..context import BC_WALL
-from .connectivity import build_connectivity, match_line_tags
+from .connectivity import build_connectivity as _np_connectivity, match_line_tags
+
+
+def build_connectivity(etov):
+    """EToE/EToF via the native C++ kernel when available, else numpy."""
+    from .. import native
+
+    if native.available():
+        return native.build_connectivity(etov)
+    return _np_connectivity(etov)
 
 
 @dataclass

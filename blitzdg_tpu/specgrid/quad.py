@@ -172,7 +172,14 @@ def build_quad_context(
     ny /= sJ
     fscale = sJ / J[:, fm_flat]
 
-    vmapM, vmapP, mapP = _build_maps_quad(x, y, fmask, mesh, n_p)
+    from .. import native
+
+    nat = native.build_maps(x, y, fmask, mesh.etoe, mesh.etof, mesh.verts,
+                            mesh.etov, NODE_TOL)
+    if nat is not None:
+        vmapM, vmapP, mapP = nat
+    else:
+        vmapM, vmapP, mapP = _build_maps_quad(x, y, fmask, mesh, n_p)
 
     trace_flat = vmapP.reshape(-1) == vmapM.reshape(-1)
     mapB_list = np.flatnonzero(trace_flat)

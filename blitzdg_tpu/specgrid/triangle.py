@@ -377,7 +377,14 @@ def build_triangle_context(
     ny /= sJ
     fscale = sJ / J[:, fm_flat]
 
-    vmapM, vmapP, mapP = _build_maps(x, y, fmask, mesh, n_p)
+    from .. import native
+
+    nat = native.build_maps(x, y, fmask, mesh.etoe, mesh.etof, mesh.verts,
+                            mesh.etov, NODE_TOL)
+    if nat is not None:
+        vmapM, vmapP, mapP = nat
+    else:
+        vmapM, vmapP, mapP = _build_maps(x, y, fmask, mesh, n_p)
 
     # boundary maps: where vmapP == vmapM
     trace_flat = vmapP.reshape(-1) == vmapM.reshape(-1)
