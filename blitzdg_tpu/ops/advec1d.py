@@ -21,9 +21,7 @@ from ..context import DGContext1D
 @dg_op
 def advec1d_rhs(ctx: DGContext1D, u: jnp.ndarray, t, c: float, alpha: float = 0.0) -> jnp.ndarray:
     """du/dt for u: (K, Np) (or any leading-batched (..., K, Np))."""
-    uf = u.reshape(*u.shape[:-2], -1)
-    uM = jnp.take(uf, ctx.vmapM.reshape(-1), axis=-1)
-    uP = jnp.take(uf, ctx.vmapP.reshape(-1), axis=-1)
+    uM, uP = ctx.surface_trace(u)
 
     # Boundary conditions: outflow copies the interior trace, inflow is 0.
     uP = uP.at[..., ctx.mapO].set(uM[..., ctx.mapO])

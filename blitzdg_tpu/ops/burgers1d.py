@@ -31,8 +31,7 @@ def burgers1d_rhs(
     """du/dt for the viscous Burgers equation, u: (K, Np)."""
     K, n_tr = ctx.k_elem, ctx.n_faces * ctx.n_fp
     uf = u.reshape(-1)
-    uM = uf[ctx.vmapM.reshape(-1)]
-    uP = uf[ctx.vmapP.reshape(-1)]
+    uM, uP = ctx.surface_trace(u)
     nxf = ctx.nx.reshape(-1)
     sqrt_nu = jnp.sqrt(jnp.asarray(nu, dtype=u.dtype))
 
@@ -51,9 +50,7 @@ def burgers1d_rhs(
     surf_q = (0.5 * ctx.fscale * ctx.nx * du.reshape(K, n_tr)) @ ctx.lift.T
     q = sqrt_nu * (ctx.rx * (u @ ctx.Dr.T) - surf_q)
 
-    qf = q.reshape(-1)
-    qM = qf[ctx.vmapM.reshape(-1)]
-    qP = qf[ctx.vmapP.reshape(-1)]
+    qM, qP = ctx.surface_trace(q)
     dq = 0.5 * (qM - qP)
     dq = dq.at[ctx.mapI].set(0.0)
     dq = dq.at[ctx.mapO].set(0.0)

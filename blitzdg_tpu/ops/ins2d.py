@@ -46,8 +46,7 @@ def ins2d_advection_rhs(
     rho, u, v = state
 
     def traces(f):
-        ff = f.reshape(-1)
-        return ff[ctx.vmapM.reshape(-1)], ff[ctx.vmapP.reshape(-1)]
+        return ctx.surface_trace(f)
 
     uM, uP = traces(u)
     vM, vP = traces(v)

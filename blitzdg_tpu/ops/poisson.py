@@ -20,8 +20,7 @@ from ..context import BC_DIRICHLET, BC_NEUMAN, BC_WALL, DGContext1D, DGContext2D
 
 
 def _trace(ctx, f):
-    ff = f.reshape(-1)
-    return ff[ctx.vmapM.reshape(-1)], ff[ctx.vmapP.reshape(-1)]
+    return ctx.surface_trace(f)
 
 
 @dg_op

@@ -49,8 +49,7 @@ class SWPhysics:
 
 
 def _traces(ctx: DGContext2D, f: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    ff = f.reshape(-1)
-    return ff[ctx.vmapM.reshape(-1)], ff[ctx.vmapP.reshape(-1)]
+    return ctx.surface_trace(f)
 
 
 def _safe_norm(u, v):

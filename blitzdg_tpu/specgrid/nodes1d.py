@@ -97,6 +97,7 @@ def build_nodes1d(
         vmapM=jnp.asarray(vmapM),
         vmapP=jnp.asarray(vmapP),
         mapP=jnp.asarray(mapP),
+        fmask=jnp.asarray(fmask.astype(np.int32)),
         mapI=0,
         mapO=2 * k_elem - 1,
         vmapI=0,
