@@ -196,10 +196,14 @@ class DGContext2D:
         return fM, fP
 
     def grad(self, u: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-        """Nodal gradient of a (K, Np) field via the chain rule."""
-        ur = u @ self.Dr.T
-        us = u @ self.Ds.T
-        return self.rx * ur + self.sx * us, self.ry * ur + self.sy * us
+        """Nodal gradient of a (K, Np) field via the chain rule (runs under
+        the framework matmul-precision scope)."""
+        from .config import precision_scope
+
+        with precision_scope():
+            ur = u @ self.Dr.T
+            us = u @ self.Ds.T
+            return self.rx * ur + self.sx * us, self.ry * ur + self.sy * us
 
 
 def asdict(ctx: Any) -> dict:

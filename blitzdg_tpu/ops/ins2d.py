@@ -85,12 +85,14 @@ def ins2d_advection_rhs(
     return INSState(rho=rhs_rho, u=rhs_u, v=rhs_v)
 
 
+@dg_op
 def divergence(ctx: DGContext2D, u, v):
     ur, us = u @ ctx.Dr.T, u @ ctx.Ds.T
     vr, vs = v @ ctx.Dr.T, v @ ctx.Ds.T
     return ctx.rx * ur + ctx.sx * us + ctx.ry * vr + ctx.sy * vs
 
 
+@dg_op
 def pressure_project(
     ctx: DGContext2D, u, v, dt, tol: float = 1e-8, maxiter: int = 400
 ):

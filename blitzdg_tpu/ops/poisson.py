@@ -148,6 +148,7 @@ def poisson1d_op(
     return lap
 
 
+@dg_op
 def apply_mass(ctx, f: jnp.ndarray) -> jnp.ndarray:
     """J * (M f) — the weak-form load-vector weighting."""
     M = ctx.Vinv.T @ ctx.Vinv

@@ -70,6 +70,7 @@ def sem_poisson_op(
     return jnp.where(dirichlet_mask, u_sem, out_sem)
 
 
+@dg_op
 def sem_load_vector(ctx: DGContext2D, f: jnp.ndarray, dirichlet_mask) -> jnp.ndarray:
     """Assemble the SEM load vector of a nodal forcing f: gather of J M f,
     zeroed on Dirichlet nodes."""

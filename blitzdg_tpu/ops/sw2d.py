@@ -172,6 +172,7 @@ def sw2d_timestep(ctx: DGContext2D, state: SWState, g: float, cfl: float):
     return cfl / ((ctx.n_order + 1) ** 2 * 0.5 * fsc)
 
 
+@dg_op
 def apply_filter(ctx: DGContext2D, f: jnp.ndarray) -> jnp.ndarray:
     """Modal exponential filter application (one MXU matmul)."""
     return f @ ctx.filter.T
