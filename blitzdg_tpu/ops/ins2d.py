@@ -97,27 +97,42 @@ def pressure_project(
     ctx: DGContext2D, u, v, dt, tol: float = 1e-8, maxiter: int = 400
 ):
     """Chorin projection: solve the mean-deflated Neumann Poisson problem
-    Lap p = div(u)/dt and subtract dt grad p. Returns (u', v', p, relres)."""
+    Lap p = div(u)/dt and subtract dt grad p. Returns (u', v', p, relres).
+
+    Nullspace handling: the symmetrized Neumann SIP operator L is symmetric
+    PSD with kernel = constants, so CG is run on P L P where
+    P = I - 11^T/n is the *Euclidean-orthogonal* projector onto the
+    constants' complement — P L P stays symmetric, which CG requires.
+    (Deflating with the quadrature-weighted mean instead makes the
+    composite nonsymmetric and CG eventually diverges catastrophically.)
+    The quadrature-weighted demean is applied only to the reported p, to
+    pin its physical mean."""
     w = _quad_weights(ctx)
 
-    def demean(f):
+    def demean_quad(f):
         tot = jnp.sum(w * f) / jnp.sum(w)
         return f - tot
 
+    def proj(v_flat):
+        return v_flat - jnp.mean(v_flat)
+
+    # a tolerance below ~50*eps of the working dtype is unreachable; clamp
+    # so low-precision runs terminate on stagnation instead of spinning
+    tol = max(tol, 50.0 * float(jnp.finfo(jnp.result_type(u)).eps))
+
     rhs = divergence(ctx, u, v) / dt
-    b = -apply_mass(ctx, demean(rhs)).reshape(-1)
+    b = proj(-apply_mass(ctx, demean_quad(rhs)).reshape(-1))
 
     def matvec(p):
-        pm = p.reshape(ctx.k_elem, ctx.n_p)
+        pm = proj(p).reshape(ctx.k_elem, ctx.n_p)
         lap = poisson2d_op(
             ctx, pm, dirichlet_tags=(), neumann_tags=(BC_WALL, BC_NEUMAN),
             symmetrize=True,
         )
-        # deflate the constant nullspace
-        return -(demean(lap)).reshape(-1)
+        return proj(-lap.reshape(-1))
 
     res = cg(matvec, b, tol=tol, maxiter=maxiter)
-    p = demean(res.x.reshape(ctx.k_elem, ctx.n_p))
+    p = demean_quad(res.x.reshape(ctx.k_elem, ctx.n_p))
     px, py = ctx.grad(p)
     return u - dt * px, v - dt * py, p, res.relres
 

@@ -57,29 +57,55 @@ def cg(
 
     r0 = b - matvec(x0)
     z0 = precon(r0)
-    state0 = (x0, r0, z0, z0, jnp.vdot(r0, z0), jnp.asarray(0))
+    rn0 = jnp.linalg.norm(r0)
+    # (x, r, z, p, rz, it, broke, best residual norm, best iterate)
+    state0 = (x0, r0, z0, z0, jnp.vdot(r0, z0), jnp.asarray(0),
+              jnp.asarray(False), rn0, x0)
 
     def cond(state):
-        _, r, *_, it = state
-        return (jnp.linalg.norm(r) / bnorm > tol) & (it < maxiter)
+        _, r, *_, it, broke, _, _ = state
+        return (~broke) & (jnp.linalg.norm(r) / bnorm > tol) & (it < maxiter)
 
     def body(state):
-        x, r, z, p, rz, it = state
+        x, r, z, p, rz, it, _, rmin, xbest = state
         Ap = matvec(p)
-        alpha = rz / jnp.vdot(p, Ap)
+        pAp = jnp.vdot(p, Ap)
+        # Breakdown/divergence guards (reference analog: the GMRESSolver.hpp
+        # ConvFlag taxonomy). On a semi-definite operator — or in low
+        # precision — roundoff pushes p into the nullspace: pAp -> 0 makes
+        # alpha explode instantly, and a residual nullspace component makes
+        # x grow without bound gradually. Catch both: stop on non-positive
+        # pAp, and stop when the residual norm has grown far past its best,
+        # returning the best iterate seen.
+        ok = jnp.isfinite(pAp) & (pAp.real > 0)
+        alpha = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
+        rn = jnp.linalg.norm(r)
+        improved = rn < rmin
+        xbest = jnp.where(improved, x, xbest)
+        rmin = jnp.minimum(rn, rmin)
+        diverging = ~jnp.isfinite(rn) | (rn > 1e4 * rmin)
         z = precon(r)
         rz_new = jnp.vdot(r, z)
-        p = z + (rz_new / rz) * p
-        return (x, r, z, p, rz_new, it + 1)
+        beta = jnp.where(ok, rz_new / rz, 0.0)
+        p = z + beta * p
+        return (x, r, z, p, jnp.where(ok, rz_new, rz), it + 1,
+                ~ok | diverging, rmin, xbest)
 
-    x, r, *_, it = jax.lax.while_loop(cond, body, state0)
-    relres = jnp.linalg.norm(r) / bnorm
+    x, r, *_, it, broke, rmin, xbest = jax.lax.while_loop(cond, body, state0)
+    rn = jnp.linalg.norm(r)
+    use_best = ~jnp.isfinite(rn) | (rmin < rn)
+    x = jnp.where(use_best, xbest, x)
+    relres = jnp.where(use_best, rmin, rn) / bnorm
     flag = jnp.where(
         relres <= tol,
         CONV_SUCCESS,
-        jnp.where(jnp.isfinite(relres), CONV_MAXITS, CONV_INF_OR_NAN),
+        jnp.where(
+            ~jnp.isfinite(relres),
+            CONV_INF_OR_NAN,
+            jnp.where(broke, CONV_BREAKDOWN, CONV_MAXITS),
+        ),
     )
     return SolveResult(x=x, iters=it, relres=relres, flag=flag)
 

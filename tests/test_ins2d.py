@@ -47,6 +47,24 @@ def test_boussinesq_gravity_waves_stable_quads():
     assert div < 1.0
 
 
+def test_long_run_stable_f32():
+    """Regression: 100 projection steps in f32 previously diverged — the
+    quadrature-weighted nullspace deflation made the CG operator
+    nonsymmetric, and f32 roundoff triggered catastrophic blow-up around
+    step ~10 (p jumped ~7 orders of magnitude in one step)."""
+    ctx = build_quad_context(2, box_quads(4, 4), filter_cutoff=1.5,
+                             filter_order=4, dtype=jnp.float32)
+    rho = 0.01 * jnp.exp(-8.0 * (ctx.x**2 + ctx.y**2))
+    state = INSState(rho=rho, u=jnp.zeros_like(rho), v=jnp.zeros_like(rho))
+    dt = 2e-3
+    step = jax.jit(lambda s, t: ins2d_step(ctx, s, t, dt))
+    for i in range(100):
+        state, p = step(state, i * dt)
+    assert np.all(np.isfinite(np.asarray(state.rho)))
+    assert float(jnp.max(jnp.abs(state.u))) < 1e-3
+    assert float(jnp.max(jnp.abs(p))) < 1e-2
+
+
 def test_namelist_roundtrip(tmp_path):
     p = tmp_path / "run.nml"
     p.write_text(

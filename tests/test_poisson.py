@@ -40,6 +40,34 @@ class TestKrylov:
         np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(A, b), atol=1e-7)
         assert int(res.flag) == CONV_SUCCESS
 
+    def test_cg_breakdown_does_not_diverge(self):
+        """On a singular PSD system with a RHS component in the nullspace,
+        plain CG would blow up once p drifts into the nullspace (pAp -> 0,
+        alpha -> inf). The guard must freeze the iterate and flag breakdown
+        rather than returning garbage."""
+        A = np.zeros((12, 12))
+        A[:8, :8] = np.diag(np.arange(1.0, 9.0))
+        b = np.ones(12)  # has nullspace component: tol unreachable
+        res = cg(lambda v: jnp.asarray(A) @ v, jnp.asarray(b), tol=1e-14,
+                 maxiter=200)
+        assert int(res.flag) != CONV_SUCCESS
+        assert np.all(np.isfinite(np.asarray(res.x)))
+        # the reported residual can never beat the nullspace component
+        # (norm 2 over bnorm ~ 3.46) but must not be garbage either
+        assert 0.1 < float(res.relres) < 10.0
+
+    def test_cg_singular_consistent_converges(self):
+        """b in range(A): CG restricted to the range converges normally."""
+        A = np.zeros((12, 12))
+        A[:8, :8] = np.diag(np.arange(1.0, 9.0))
+        b = np.zeros(12)
+        b[:8] = 1.0
+        res = cg(lambda v: jnp.asarray(A) @ v, jnp.asarray(b), tol=1e-12,
+                 maxiter=100)
+        assert int(res.flag) == CONV_SUCCESS
+        np.testing.assert_allclose(np.asarray(res.x)[:8],
+                                   1.0 / np.arange(1.0, 9.0), atol=1e-10)
+
     def test_gmres_singular_flags_no_convergence(self):
         # singular system: should hit maxiter, not silently "converge"
         A = np.zeros((10, 10))
