@@ -114,9 +114,12 @@ def main():
     ctx_host = build_triangle_context(N, mesh, filter_cutoff=0.9 * N,
                                       filter_order=N, dtype=None)
     phys = SWPhysics(g=9.81)
+    from blitzdg_tpu.ops.sw2d_dense import build_dense_trace_ops
+
     prob = MPCProblem(ctx=ctx, phys=phys, dt=DT, horizon=HORIZON,
                       steps_per_control=STEPS_PER_CONTROL,
-                      q_eta=0.0, q_terminal=1.0, r_control=1e-10)
+                      q_eta=0.0, q_terminal=1.0, r_control=1e-10,
+                      dense_ops=build_dense_trace_ops(ctx))
 
     def forcing(c, control, state, t):
         bump = jnp.exp(-8.0 * (c.x**2 + c.y**2)).astype(state.h.dtype)

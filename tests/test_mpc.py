@@ -60,6 +60,30 @@ def test_mpc_reduces_cost_and_recovers_reachable_target():
     assert abs(float(sol.controls[0, 0]) - 0.5) < 0.25
 
 
+def test_dense_fast_path_matches_gather_path():
+    """MPC with dense trace operators (the MXU fast path) must produce the
+    same cost and gradients as the gather-based RHS."""
+    from blitzdg_tpu.ops.sw2d_dense import build_dense_trace_ops
+
+    prob, state0 = make_problem(horizon=4)
+    prob_dense = prob.replace(dense_ops=build_dense_trace_ops(prob.ctx))
+    target = 0.05 * jnp.exp(-5.0 * (prob.ctx.x**2 + prob.ctx.y**2))
+    controls = 0.3 * jnp.ones((prob.horizon, 2))
+
+    cost_fn = lambda p, c: mpc_cost(p, state0, c, target, gaussian_source_forcing)
+    c0, g0 = jax.value_and_grad(lambda c: cost_fn(prob, c))(controls)
+    c1, g1 = jax.value_and_grad(lambda c: cost_fn(prob_dense, c))(controls)
+    np.testing.assert_allclose(float(c1), float(c0), rtol=1e-10)
+    # matmul-vs-gather summation order differs; agreement to ~1e-8 relative
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-6)
+
+    # remat must not change values either
+    prob_noremat = prob.replace(remat=False)
+    c2, g2 = jax.value_and_grad(lambda c: cost_fn(prob_noremat, c))(controls)
+    np.testing.assert_allclose(float(c2), float(c0), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g0), rtol=1e-12)
+
+
 def test_mpc_batched_scenarios():
     """vmap over scenarios (different targets) — the DP axis."""
     prob, state0 = make_problem(horizon=4)
