@@ -100,8 +100,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    import numpy as _np
+
     from blitzdg_tpu.mesh import box_triangles, read_gmsh
-    from blitzdg_tpu.mpc import MPCProblem, solve_mpc
+    from blitzdg_tpu.mpc import MPCProblem, build_pallas_mpc, solve_mpc_pallas
     from blitzdg_tpu.ops.sw2d import SWPhysics, SWState
     from blitzdg_tpu.specgrid.triangle import build_triangle_context
 
@@ -121,9 +123,11 @@ def main():
                       q_eta=0.0, q_terminal=1.0, r_control=1e-10,
                       dense_ops=build_dense_trace_ops(ctx))
 
-    def forcing(c, control, state, t):
-        bump = jnp.exp(-8.0 * (c.x**2 + c.y**2)).astype(state.h.dtype)
-        return jnp.zeros_like(state.h), control[0] * bump, control[1] * bump
+    # Gaussian momentum-source forcing, linear in the 2 controls —
+    # the fused Pallas MPC path (kernelized rollout + hand-written adjoint)
+    bump = _np.exp(-8.0 * (_np.asarray(ctx.x) ** 2 + _np.asarray(ctx.y) ** 2))
+    pm = build_pallas_mpc(prob, _np.stack([bump, 0 * bump]),
+                          _np.stack([0 * bump, bump]), tile_b=128)
 
     # scenario batch: shifted target bumps
     h0 = jnp.full((ctx.k_elem, ctx.n_p), 10.0, dtype=jnp.float32)
@@ -135,10 +139,8 @@ def main():
     )(offs).astype(jnp.float32)
 
     solve = jax.jit(
-        jax.vmap(
-            lambda s, tg: solve_mpc(prob, s, tg, forcing, 2, iters=ITERS,
-                                    learning_rate=0.05).cost
-        )
+        lambda s, tg: solve_mpc_pallas(prob, pm, s, tg, 2, iters=ITERS,
+                                       learning_rate=0.05).cost
     )
     solve(states, targets).block_until_ready()  # compile
     reps = 3

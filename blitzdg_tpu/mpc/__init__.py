@@ -1,3 +1,4 @@
+from .pallas import PallasMPC, build_pallas_mpc, mpc_cost_pallas, solve_mpc_pallas
 from .problem import MPCProblem, mpc_cost, rollout_controls
 from .solver import MPCSolution, receding_horizon, solve_mpc
 
@@ -8,4 +9,8 @@ __all__ = [
     "MPCSolution",
     "solve_mpc",
     "receding_horizon",
+    "PallasMPC",
+    "build_pallas_mpc",
+    "mpc_cost_pallas",
+    "solve_mpc_pallas",
 ]

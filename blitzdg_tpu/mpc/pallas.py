@@ -1,0 +1,138 @@
+"""Pallas-accelerated MPC: shooting optimization over the fused rollout.
+
+Same optimization problem as mpc_cost/solve_mpc (problem.py/solver.py) but
+the entire forward rollout AND its adjoint are single Pallas kernels
+(ops/sw2d_pallas.py) — ~4x faster fwd+bwd than the XLA scan with remat at
+the reference coarse_box MPC shapes.
+
+Scope: wall-only BCs, flat bottom, control forcing linear in the controls
+(rhs_hu += c @ BU, rhs_hv += c @ BV). Scenario batching is native (the
+kernel grid tiles the batch) — do NOT vmap these entry points.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..ops.sw2d import SWState
+from ..ops.sw2d_dense import build_dense_trace_ops
+from ..ops.sw2d_pallas import (
+    PallasStepMeta,
+    build_pallas_step_ops,
+    make_rollout,
+    pad_state,
+)
+from .problem import MPCProblem
+from .solver import MPCSolution
+
+
+class PallasMPC(NamedTuple):
+    rollout: callable
+    meta: PallasStepMeta
+    wj: jnp.ndarray  # (nVp,) mass-weighted quadrature row (padded 0)
+    vmask: jnp.ndarray  # (nVp,) 1.0 on real lanes
+
+
+def build_pallas_mpc(
+    prob: MPCProblem,
+    forcing_bu: np.ndarray,  # (n_ctrl, K, Np) linear hu-forcing injector
+    forcing_bv: np.ndarray,
+    tile_b: int = 128,
+    interpret: bool = False,
+) -> PallasMPC:
+    ctx = prob.ctx
+    dense = build_dense_trace_ops(ctx)
+    ops, meta = build_pallas_step_ops(
+        ctx, dense, prob.phys, forcing_bu, forcing_bv
+    )
+    rollout = make_rollout(
+        ops, meta, prob.dt, prob.steps_per_control,
+        use_filter=prob.use_filter, tile_b=tile_b, interpret=interpret,
+    )
+    M = ctx.Vinv.T @ ctx.Vinv
+    w = M @ jnp.ones((ctx.n_p,), dtype=ctx.J.dtype)
+    wj = jnp.pad((w[None, :] * ctx.J).reshape(-1),
+                 (0, meta.n_vp - meta.n_v)).astype(jnp.float32)
+    vmask = (jnp.arange(meta.n_vp) < meta.n_v).astype(jnp.float32)
+    return PallasMPC(rollout=rollout, meta=meta, wj=wj, vmask=vmask)
+
+
+def mpc_cost_pallas(
+    prob: MPCProblem,
+    pm: PallasMPC,
+    states0: SWState,  # (B, K, Np) fields
+    controls: jnp.ndarray,  # (B, horizon, CP) padded controls
+    targets: jnp.ndarray,  # (B, K, Np)
+    H_rest: float = 10.0,
+) -> jnp.ndarray:
+    """Per-scenario quadratic tracking cost (B,) — pallas analog of
+    problem.mpc_cost, batched natively."""
+    meta, spc = pm.meta, prob.steps_per_control
+    hp = pad_state(meta, states0.h, 1.0)
+    hup = pad_state(meta, states0.hu, 0.0)
+    hvp = pad_state(meta, states0.hv, 0.0)
+    tp = pad_state(meta, targets, 0.0)
+
+    th, _, _ = pm.rollout(hp, hup, hvp, controls)
+    # states after each control block: step indices (j+1)*spc, j=0..H-1
+    sel = th[:, jnp.arange(1, prob.horizon + 1) * spc]  # (B, H, nVp)
+    err = (sel - H_rest * pm.vmask[None, None, :]) - tp[:, None, :]
+    per_step = jnp.sum(pm.wj[None, None, :] * err * err, axis=-1)  # (B, H)
+    running = jnp.sum(per_step, axis=-1) / prob.horizon
+    terminal = per_step[:, -1]
+    effort = jnp.sum(controls * controls, axis=(-2, -1))
+    return prob.q_eta * running + prob.q_terminal * terminal + prob.r_control * effort
+
+
+def solve_mpc_pallas(
+    prob: MPCProblem,
+    pm: PallasMPC,
+    states0: SWState,  # (B, K, Np) fields
+    targets: jnp.ndarray,  # (B, K, Np)
+    n_controls: int,
+    *,
+    iters: int = 50,
+    learning_rate: float = 0.1,
+    init_controls: jnp.ndarray | None = None,  # (B, horizon, n_controls)
+    H_rest: float = 10.0,
+) -> MPCSolution:
+    """Batched Adam shooting solve on the fused Pallas rollout.
+
+    Returns an MPCSolution with leading batch axes: controls
+    (B, horizon, n_controls), cost (B,), cost_history (iters, B).
+    """
+    meta = pm.meta
+    B = states0.h.shape[0]
+    dtype = states0.h.dtype
+    if init_controls is None:
+        cpad = jnp.zeros((B, prob.horizon, meta.cp), dtype=dtype)
+    else:
+        cpad = jnp.pad(
+            init_controls,
+            ((0, 0), (0, 0), (0, meta.cp - init_controls.shape[-1])),
+        )
+
+    def total(c):
+        costs = mpc_cost_pallas(prob, pm, states0, c, targets, H_rest)
+        return jnp.sum(costs), costs
+
+    opt = optax.adam(learning_rate)
+
+    def step(carry, _):
+        c, opt_state = carry
+        (_, costs), grad = jax.value_and_grad(total, has_aux=True)(c)
+        updates, opt_state = opt.update(grad, opt_state, c)
+        c = optax.apply_updates(c, updates)
+        return (c, opt_state), costs
+
+    (cpad, _), history = jax.lax.scan(
+        step, (cpad, opt.init(cpad)), None, length=iters
+    )
+    _, final_costs = total(cpad)
+    return MPCSolution(
+        controls=cpad[..., :n_controls], cost=final_costs, cost_history=history
+    )
