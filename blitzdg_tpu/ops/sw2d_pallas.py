@@ -179,7 +179,12 @@ def unpad_state(meta: PallasStepMeta, f: jnp.ndarray, k_elem: int) -> jnp.ndarra
 
 
 def _mm(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    # HIGHEST = full-f32 MXU passes. The default single-bf16 pass rounds
+    # the inputs to 8 mantissa bits, which wipes out O(1e-3) surface
+    # perturbations riding on h ~ 10 (the same reason the XLA DG ops are
+    # pinned to 'highest' — see config.dg_op).
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def _group_max(spd, n_fp):
