@@ -180,20 +180,37 @@ class DGContext2D:
     gather_ids: jnp.ndarray  # (n_unique,) first occurrence flat node ids
     scatter_ids: jnp.ndarray  # (K*Np,) unique-node id of each nodal point
 
+    # face-granular decomposition of mapP (see face_trace_structure):
+    # the '+' trace of face i is face_nbr[i]'s '-' trace, lane-reversed
+    # where face_flip[i]. None when mapP has no such structure (then the
+    # flat node-level gather below is used). If you replace() mapP, either
+    # recompute these with face_trace_structure or set them to None.
+    face_nbr: jnp.ndarray | None = None  # (K*Nfaces,) int32
+    face_flip: jnp.ndarray | None = None  # (K*Nfaces,) bool
+
     def surface_trace(self, u: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Interior ('-') and exterior ('+') traces of a (..., K, Np) field,
         flattened over the last two axes.
 
         TPU-optimized form: the '-' trace is a STATIC face-node gather
-        (fmask indices are compile-time constants) and the '+' trace is one
-        arbitrary gather from the trace array via mapP — measured ~15%
-        faster than two volume gathers via vmapM/vmapP, bitwise identical
-        (vmapM[mapP] == vmapP by construction).
+        (fmask indices are compile-time constants). The '+' trace is a
+        FACE-granular row gather + lane flip when mapP decomposes that way
+        (it always does for conforming meshes: a neighbor's face nodes are
+        the same physical points in reversed order) — node-level gathers
+        along the minor dimension are ~7x slower on TPU. Bitwise identical
+        to the flat vmapM/vmapP gathers.
         """
+        lead = u.shape[:-2]
         fM = jnp.take(u, self.fmask.reshape(-1), axis=-1)
-        fM = fM.reshape(*u.shape[:-2], -1)
-        fP = jnp.take(fM, self.mapP.reshape(-1), axis=-1)
-        return fM, fP
+        fM = fM.reshape(*lead, -1)
+        if self.face_nbr is None:
+            fP = jnp.take(fM, self.mapP.reshape(-1), axis=-1)
+            return fM, fP
+        n_fp = self.n_fp
+        fMf = fM.reshape(*lead, -1, n_fp)  # (..., K*Nfaces, n_fp)
+        rows = jnp.take(fMf, self.face_nbr, axis=-2)
+        fP = jnp.where(self.face_flip[:, None], rows[..., ::-1], rows)
+        return fM, fP.reshape(*lead, -1)
 
     def grad(self, u: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Nodal gradient of a (K, Np) field via the chain rule (runs under
@@ -204,6 +221,29 @@ class DGContext2D:
             ur = u @ self.Dr.T
             us = u @ self.Ds.T
             return self.rx * ur + self.sx * us, self.ry * ur + self.sy * us
+
+
+def face_trace_structure(mapP, n_fp: int):
+    """Decompose a node-level '+'-trace map into face granularity.
+
+    Returns (face_nbr (F,) int32, face_flip (F,) bool) such that
+    mapP.reshape(F, n_fp)[i] == face_nbr[i]*n_fp + (n_fp-1 .. 0 if flip
+    else 0 .. n_fp-1), or None if any face's map is not a single
+    forward/reversed run of one neighbor face (e.g. exotic periodic
+    rewrites). Host-side, runs once at context build time.
+    """
+    rows = np.asarray(mapP).reshape(-1, n_fp)
+    face_of = rows // n_fp
+    if not (face_of == face_of[:, :1]).all():
+        return None
+    within = rows % n_fp
+    fwd = (within == np.arange(n_fp)).all(axis=1)
+    rev = (within == np.arange(n_fp)[::-1]).all(axis=1)
+    if n_fp == 1:
+        rev = np.zeros_like(fwd)
+    if not (fwd | rev).all():
+        return None
+    return face_of[:, 0].astype(np.int32), rev
 
 
 def asdict(ctx: Any) -> dict:

@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..context import BCMaps, DGContext2D
+from ..context import BCMaps, DGContext2D, face_trace_structure
 from ..mesh.gmsh import Mesh2D
 from .jacobi import gauss_lobatto_points
 from .vandermonde import grad_vandermonde_1d, vandermonde_1d
@@ -208,6 +208,7 @@ def build_quad_context(
         to_dev = lambda a: np.asarray(a, dtype=np.float64)
     else:
         to_dev = lambda a: jnp.asarray(a, dtype=dtype)
+    _fts = face_trace_structure(mapP, n_fp)
     return DGContext2D(
         n_order=n_order,
         n_p=n_p,
@@ -246,4 +247,6 @@ def build_quad_context(
         bc_table=jnp.asarray(mesh.bc_type.astype(np.int32)),
         gather_ids=jnp.asarray(gather_ids.astype(np.int32)),
         scatter_ids=jnp.asarray(scatter_ids.astype(np.int32)),
+        face_nbr=None if _fts is None else jnp.asarray(_fts[0]),
+        face_flip=None if _fts is None else jnp.asarray(_fts[1]),
     )

@@ -209,3 +209,35 @@ class TestReferenceMeshes:
         y = np.asarray(ctx.y).reshape(-1)
         np.testing.assert_allclose(x[vm], x[vp], atol=1e-9)
         np.testing.assert_allclose(y[vm], y[vp], atol=1e-9)
+
+
+def test_structured_face_trace_matches_flat_gather():
+    """The face-granular '+'-trace (row gather + lane flip — the TPU fast
+    path) must be bitwise identical to the flat node-level mapP gather,
+    including on boundary (self) faces; both triangles and quads."""
+    import jax.numpy as jnp
+
+    from blitzdg_tpu.mesh import box_quads
+    from blitzdg_tpu.specgrid.quad import build_quad_context
+
+    for ctx in (
+        build_triangle_context(3, box_triangles(4, 5)),
+        build_quad_context(2, box_quads(3, 4)),
+    ):
+        assert ctx.face_nbr is not None and ctx.face_flip is not None
+        u = jnp.asarray(
+            np.random.default_rng(0).normal(size=(ctx.k_elem, ctx.n_p))
+        )
+        fM, fP = ctx.surface_trace(u)
+        # flat reference path
+        fM_ref = jnp.take(u, ctx.fmask.reshape(-1), axis=-1).reshape(-1)
+        fP_ref = jnp.take(fM_ref, ctx.mapP.reshape(-1), axis=-1)
+        np.testing.assert_array_equal(np.asarray(fM).reshape(-1),
+                                      np.asarray(fM_ref))
+        np.testing.assert_array_equal(np.asarray(fP).reshape(-1),
+                                      np.asarray(fP_ref))
+        # batched input
+        ub = jnp.stack([u, 2.0 * u])
+        fMb, fPb = ctx.surface_trace(ub)
+        np.testing.assert_array_equal(np.asarray(fPb[0]).reshape(-1),
+                                      np.asarray(fP_ref))
