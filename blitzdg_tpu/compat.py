@@ -72,6 +72,27 @@ class MeshManager:
 
         self._mesh = build_mesh(np.asarray(Vertices), np.asarray(EToV))
 
+    def readVertices(self, path: str):
+        """CSV vertex reader (reference MeshManager.cpp:546-552)."""
+        from .io.csv import csvread
+
+        self._csv_verts = csvread(path, float)[:, :2]
+        self._maybe_build_csv()
+
+    def readElements(self, path: str):
+        """CSV element reader (reference MeshManager.cpp:554-562)."""
+        from .io.csv import csvread
+
+        self._csv_elems = csvread(path, float).astype(np.int64)
+        self._maybe_build_csv()
+
+    def _maybe_build_csv(self):
+        if getattr(self, "_csv_verts", None) is not None and \
+                getattr(self, "_csv_elems", None) is not None:
+            from .mesh import build_mesh
+
+            self._mesh = build_mesh(self._csv_verts, self._csv_elems)
+
     def partitionMesh(self, numPartitions: int):
         from .parallel.partition import rcb_partition
 

@@ -26,3 +26,26 @@ def write_fields_to_files(fields: dict, index: int, out_dir: str = ".") -> list[
         write_field(p, data)
         paths.append(p)
     return paths
+
+
+def csvread(path: str, dtype=float) -> np.ndarray:
+    """Whitespace/comma-delimited matrix loader (reference analog:
+    CSVFileReader.hpp:421+ `csvread<T>`): blank lines are skipped; ragged
+    rows raise ValueError (the reference throws on inconsistent column
+    counts — CSVFileReaderTests.cpp error paths)."""
+    rows = []
+    with open(path) as f:
+        for ln, line in enumerate(f, 1):
+            toks = line.replace(",", " ").split()
+            if not toks:
+                continue
+            rows.append((ln, toks))
+    if not rows:
+        return np.zeros((0, 0), dtype=dtype)
+    ncol = len(rows[0][1])
+    for ln, toks in rows:
+        if len(toks) != ncol:
+            raise ValueError(
+                f"{path}:{ln}: expected {ncol} columns, got {len(toks)}"
+            )
+    return np.array([[dtype(t) for t in toks] for _, toks in rows])

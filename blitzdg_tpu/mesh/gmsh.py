@@ -192,3 +192,17 @@ def write_gmsh(path: str, mesh: Mesh2D) -> None:
             f.write(f"{row} {etype} 2 0 0 {vs}\n")
             row += 1
         f.write("$EndElements\n")
+
+
+def read_csv_mesh(vertices_path: str, elements_path: str,
+                  default_bc: int = BC_WALL) -> Mesh2D:
+    """Build a mesh from whitespace-delimited vertex/element files
+    (reference analog: MeshManager::readVertices/readElements,
+    src/MeshManager.cpp:546-562, exercised by the input/2box.V + 2box.E2V
+    fixtures). Vertex rows are x y [z]; element rows are 0-based vertex
+    ids (triangles or quads by column count)."""
+    from ..io.csv import csvread
+
+    verts = csvread(vertices_path, float)[:, :2]
+    etov = csvread(elements_path, float).astype(np.int64)
+    return build_mesh(verts, etov, default_bc=default_bc)
