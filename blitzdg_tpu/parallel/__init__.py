@@ -1,3 +1,4 @@
+from .halo import HaloPlan, build_halo_plan, halo_sw2d_rhs, halo_tables, halo_traces
 from .partition import partition_mesh, rcb_partition
 from .sharding import make_device_mesh, shard_context, sharded_sw2d_rhs
 
@@ -7,4 +8,9 @@ __all__ = [
     "make_device_mesh",
     "shard_context",
     "sharded_sw2d_rhs",
+    "HaloPlan",
+    "build_halo_plan",
+    "halo_tables",
+    "halo_traces",
+    "halo_sw2d_rhs",
 ]

@@ -1,0 +1,221 @@
+"""Precomputed-table halo exchange over `lax.ppermute`.
+
+The domain-decomposition analog of a CP/ring-attention shift (SURVEY.md
+§2.9): each element shard owns a contiguous block of K/n_shards elements;
+the only data another shard ever needs is the (Nfp-wide) '-' trace of the
+faces on the cut. At setup we build, per shard and per ring offset d, the
+exact list of local faces some shard at distance d needs; at run time each
+offset is ONE `lax.ppermute` of a fixed-size face buffer around the ring.
+Communication is proportional to the cut (the halo), not the domain —
+unlike the all_gather fallback in sharding.py, which ships every trace to
+every shard.
+
+Requires the face-granular structure of mapP (context.face_trace_structure)
+— every conforming mesh has it.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import dg_op
+from ..context import BC_WALL, DGContext2D, face_trace_structure
+from ..ops.sw2d import SWPhysics, SWState, _safe_norm
+
+
+class HaloPlan(NamedTuple):
+    """Static halo-exchange tables. Arrays lead with the shard axis so they
+    can be passed into shard_map with P('element', ...) — each shard gets
+    its own row."""
+
+    # (n_shards, n_off, max_send): local face rows to send to the shard at
+    # ring offset offs[d]; padded with 0 (sent but ignored by receivers)
+    send_idx: jnp.ndarray
+    # (n_shards, F_loc): row in [local faces | recv_0 | recv_1 | ...] that
+    # feeds each local face's '+' trace
+    psrc: jnp.ndarray
+    # (n_shards, F_loc): lane-reverse flag per local face
+    pflip: jnp.ndarray
+    offs: tuple  # static ring offsets with nonzero traffic
+    n_shards: int
+    max_send: int
+
+
+def build_halo_plan(ctx: DGContext2D, n_shards: int) -> HaloPlan:
+    """Host-side: derive send lists and '+'-source tables from the global
+    face-neighbor structure. K must be divisible by n_shards (partition.py
+    guarantees contiguous equal blocks)."""
+    K, nf, n_fp = ctx.k_elem, ctx.n_faces, ctx.n_fp
+    assert K % n_shards == 0, (K, n_shards)
+    fts = face_trace_structure(ctx.mapP, n_fp)
+    if fts is None:
+        raise ValueError("mapP has no face-granular structure; "
+                         "use the all_gather path (sharded_sw2d_rhs)")
+    face_nbr, face_flip = fts  # global face ids / flip flags, (K*nf,)
+    f_loc = (K // n_shards) * nf
+    owner = face_nbr // f_loc
+
+    # send[d][t]: ordered dict local_row -> slot, for shard t sending to
+    # shard (t+d) % n_shards
+    send: dict[int, list[dict]] = {}
+    psrc = np.zeros((n_shards, f_loc), np.int64)
+    remote_ref: list[list[tuple]] = [[] for _ in range(n_shards)]
+
+    for s in range(n_shards):
+        base = s * f_loc
+        for i in range(f_loc):
+            nbr = int(face_nbr[base + i])
+            t = int(owner[base + i])
+            if t == s:
+                psrc[s, i] = nbr - t * f_loc  # local row
+            else:
+                d = (s - t) % n_shards
+                slots = send.setdefault(d, [dict() for _ in range(n_shards)])
+                row = nbr - t * f_loc
+                slot = slots[t].setdefault(row, len(slots[t]))
+                remote_ref[s].append((i, d, slot))
+
+    offs = tuple(sorted(send.keys()))
+    max_send = max(
+        (len(slots[t]) for d in offs for t in range(n_shards)
+         for slots in (send[d],)),
+        default=1,
+    )
+    max_send = max(max_send, 1)
+
+    send_idx = np.zeros((n_shards, max(len(offs), 1), max_send), np.int32)
+    for di, d in enumerate(offs):
+        for t in range(n_shards):
+            for row, slot in send[d][t].items():
+                send_idx[t, di, slot] = row
+
+    # remote sources index into the concatenated [local | recv_offs...] rows
+    for s in range(n_shards):
+        for i, d, slot in remote_ref[s]:
+            di = offs.index(d)
+            psrc[s, i] = f_loc + di * max_send + slot
+
+    pflip = np.asarray(face_flip).reshape(n_shards, f_loc)
+    return HaloPlan(
+        send_idx=send_idx,
+        psrc=psrc.astype(np.int32),
+        pflip=pflip,
+        offs=offs,
+        n_shards=n_shards,
+        max_send=max_send,
+    )
+
+
+def halo_tables(plan: HaloPlan):
+    """Device copies of the per-shard tables — pass these through shard_map
+    with P(axis) on the leading (shard) dim; the plan itself (static offs /
+    shard count) is closed over."""
+    return (jnp.asarray(plan.send_idx), jnp.asarray(plan.psrc),
+            jnp.asarray(plan.pflip))
+
+
+def halo_traces(fields, ctx, plan_row, plan: HaloPlan, axis_name: str):
+    """'-' and '+' traces of a tuple of local (K_loc, Np) fields with
+    cross-shard faces exchanged via one ppermute per active ring offset.
+    plan_row: this shard's (send_idx, psrc, pflip) rows (leading shard axis
+    already consumed by shard_map). Returns stacked (n_fields, F_loc*n_fp)."""
+    n = plan.n_shards
+    n_fp = ctx.n_fp
+    send_idx, psrc, pflip = plan_row
+    fm = ctx.fmask.reshape(-1)
+    fMf = jnp.stack([f[:, fm] for f in fields]).reshape(len(fields), -1, n_fp)
+
+    parts = [fMf]
+    for di, d in enumerate(plan.offs):
+        buf = jnp.take(fMf, send_idx[di], axis=1)  # (nF, max_send, n_fp)
+        recv = jax.lax.ppermute(
+            buf, axis_name, [(j, (j + d) % n) for j in range(n)]
+        )
+        parts.append(recv)
+    comb = jnp.concatenate(parts, axis=1)
+    rows = jnp.take(comb, psrc, axis=1)  # (nF, F_loc, n_fp)
+    fP = jnp.where(pflip[None, :, None], rows[..., ::-1], rows)
+    nF = len(fields)
+    return fMf.reshape(nF, -1), fP.reshape(nF, -1)
+
+
+@dg_op
+def halo_sw2d_rhs(
+    ctx: DGContext2D,
+    state: SWState,
+    t,
+    phys: SWPhysics,
+    tables,  # halo_tables(plan) rows, shard axis consumed by shard_map
+    plan: HaloPlan,  # static metadata (offs, n_shards); closed over
+    axis_name: str = "element",
+) -> SWState:
+    """sw2d RHS for use INSIDE shard_map over the element axis, with
+    ppermute halo exchange (same physics as sharding.sharded_sw2d_rhs;
+    communication is the halo, not the domain).
+
+    ctx: per-shard context blocks (as in sharded_sw2d_rhs); `tables` must
+    be passed through shard_map with P(axis) on their leading dim and
+    arrive here with that leading length-1 axis intact."""
+    K_loc = state.h.shape[0]
+    n_tr = ctx.n_faces * ctx.n_fp
+    g = phys.g
+    my = jax.lax.axis_index(axis_name)
+
+    plan_row = tuple(a[0] for a in tables)
+    fM, fP = halo_traces(tuple(state), ctx, plan_row, plan, axis_name)
+    hM, huM, hvM = fM
+    hP, huP, hvP = fP
+
+    nxf = ctx.nx.reshape(-1)
+    nyf = ctx.ny.reshape(-1)
+
+    # Wall BC on global (replicated) trace indices, localized to this shard
+    local_size = K_loc * n_tr
+    g_idx = ctx.bc_maps.idx[BC_WALL]
+    g_mask = ctx.bc_maps.mask[BC_WALL]
+    mine = g_mask & (g_idx // local_size == my)
+    wall_idx = jnp.where(mine, g_idx % local_size, local_size)
+    safe = jnp.where(mine, wall_idx, 0)
+    un2 = 2.0 * (huM[safe] * nxf[safe] + hvM[safe] * nyf[safe])
+    huP = huP.at[wall_idx].set(huM[safe] - un2 * nxf[safe], mode="drop")
+    hvP = hvP.at[wall_idx].set(hvM[safe] - un2 * nyf[safe], mode="drop")
+
+    dh, dhu, dhv = hM - hP, huM - huP, hvM - hvP
+
+    def flux(hh, hhu, hhv):
+        inv_h = 1.0 / hh
+        F2 = hhu * hhu * inv_h + 0.5 * g * hh * hh
+        G2 = hhu * hhv * inv_h
+        G3 = hhv * hhv * inv_h + 0.5 * g * hh * hh
+        return hhu, F2, G2, hhv, G2, G3
+
+    F1M, F2M, F3M, G1M, G2M, G3M = flux(hM, huM, hvM)
+    F1P, F2P, F3P, G1P, G2P, G3P = flux(hP, huP, hvP)
+
+    spdM = _safe_norm(huM / hM, hvM / hM) + jnp.sqrt(g * hM)
+    spdP = _safe_norm(huP / hP, hvP / hP) + jnp.sqrt(g * hP)
+    spd = jnp.maximum(spdM, spdP).reshape(K_loc * ctx.n_faces, ctx.n_fp)
+    lam = jnp.max(spd, axis=1, keepdims=True)
+    lam = jnp.broadcast_to(lam, spd.shape).reshape(-1)
+
+    dflux1 = 0.5 * ((F1M - F1P) * nxf + (G1M - G1P) * nyf - lam * dh)
+    dflux2 = 0.5 * ((F2M - F2P) * nxf + (G2M - G2P) * nyf - lam * dhu)
+    dflux3 = 0.5 * ((F3M - F3P) * nxf + (G3M - G3P) * nyf - lam * dhv)
+
+    h, hu, hv = state
+    F1, F2, F3, G1, G2, G3 = flux(h, hu, hv)
+
+    def div(F, G):
+        Fr, Fs = F @ ctx.Dr.T, F @ ctx.Ds.T
+        Gr, Gs = G @ ctx.Dr.T, G @ ctx.Ds.T
+        return ctx.rx * Fr + ctx.sx * Fs + ctx.ry * Gr + ctx.sy * Gs
+
+    surf = lambda d: (ctx.fscale * d.reshape(K_loc, n_tr)) @ ctx.lift.T
+    return SWState(
+        h=-div(F1, G1) + surf(dflux1),
+        hu=-div(F2, G2) + surf(dflux2),
+        hv=-div(F3, G3) + surf(dflux3),
+    )

@@ -15,6 +15,11 @@ the NCCL/MPI layer it never had (SURVEY.md §2.9). Two execution styles:
    crosses chips; only `(K, Nfaces*Nfp)` traces do. Global reductions
    (LF wavespeed, dt) become `lax.pmax` over the axis.
 
+3. **ppermute halo exchange** (halo.py, preferred at scale) — precomputed
+   per-shard send tables; each ring offset with traffic is ONE
+   `lax.ppermute` of a fixed-size face buffer, so communication is
+   proportional to the partition cut instead of the whole trace table.
+
 The element axis must be pre-partitioned contiguously (partition.py) so a
 plain `P('element')` sharding is also a good partition.
 """
