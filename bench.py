@@ -85,15 +85,22 @@ def numpy_forward_rollout_time(ctx, reps=3):
         return [o @ filt.T for o in out]
 
     n_steps = HORIZON * STEPS_PER_CONTROL
-    t0 = time.perf_counter()
-    for _ in range(reps):
+
+    def one_rollout():
+        t0 = time.perf_counter()
         hh, huu, hvv = h.copy(), hu.copy(), hv.copy()
         for _ in range(n_steps):
             r1, r2, r3 = rhs(hh, huu, hvv)
             h1, hu1, hv1 = hh + 0.5 * DT * r1, huu + 0.5 * DT * r2, hvv + 0.5 * DT * r3
             r1, r2, r3 = rhs(h1, hu1, hv1)
             hh, huu, hvv = hh + DT * r1, huu + DT * r2, hvv + DT * r3
-    return (time.perf_counter() - t0) / reps
+        return time.perf_counter() - t0
+
+    one_rollout()  # warm caches
+    # best-of-N: the baseline is a lower bound on the CPU cost, so take the
+    # minimum — the mean is noisy on a shared host and was swinging the
+    # reported vs_baseline by ~2x between runs
+    return min(one_rollout() for _ in range(max(reps, 5)))
 
 
 def main():
