@@ -28,6 +28,27 @@ def write_fields_to_files(fields: dict, index: int, out_dir: str = ".") -> list[
     return paths
 
 
+def read_depth_data(path: str, k_elem: int, n_p: int,
+                    clip_min: float = 150.0) -> np.ndarray:
+    """Bathymetry loader for sw2d's `.oct` nodal depth files (reference
+    analog: src/sw2d/main.cpp:486-515 `readDepthData`): one depth value per
+    row, filled element-major with the node index fastest, depths shallower
+    than ``clip_min`` metres clipped up to ``clip_min`` (main.cpp:506-507).
+    Returns H with our (K, Np) element-major layout; missing trailing values
+    stay 0 like the reference's zero-initialised buffer."""
+    vals = []
+    with open(path) as f:
+        for line in f:
+            toks = line.replace(",", " ").split()
+            if toks:
+                vals.append(float(toks[0]))
+    H = np.zeros(k_elem * n_p)
+    n = min(len(vals), H.size)
+    H[:n] = vals[:n]
+    H[:n] = np.maximum(H[:n], clip_min)
+    return H.reshape(k_elem, n_p)
+
+
 def csvread(path: str, dtype=float) -> np.ndarray:
     """Whitespace/comma-delimited matrix loader (reference analog:
     CSVFileReader.hpp:421+ `csvread<T>`): blank lines are skipped; ragged

@@ -155,6 +155,98 @@ def apply_mass(ctx, f: jnp.ndarray) -> jnp.ndarray:
     return ctx.J * (f @ M.T)
 
 
+@dg_op
+def apply_mass_curved(cub, f: jnp.ndarray) -> jnp.ndarray:
+    """Curved weak load: (f, v) via cubature, exact for curved Jacobians
+    (reference analog: the per-element custom mass matrices MM_k = V^T W J V,
+    src/TriangleNodesProvisioner.cpp:160-182)."""
+    fc = f @ cub.V.T
+    return (cub.W * fc) @ cub.V
+
+
+@dg_op
+def poisson2d_curved_op(
+    ctx: DGContext2D,
+    cub,
+    gauss,
+    u: jnp.ndarray,
+    tau: float | None = None,
+    dirichlet_tags=(BC_WALL, BC_DIRICHLET),
+    neumann_tags=(BC_NEUMAN,),
+) -> jnp.ndarray:
+    """Curved/over-integrated matrix-free Poisson operator: weak-form LDG
+    Laplacian evaluated with cubature volume integrals and Gauss-node
+    surface integrals.
+
+    This is the TPU-native equivalent of the reference's curved
+    Poisson2DSparseMatrix variant (src/Poisson2DSparseMatrix.cpp:37-317,
+    cubature/Gauss assembly): instead of assembling a sparse operator on
+    host, the same weak form is applied matrix-free on device so it can be
+    fed to CG — per the SURVEY §7.1 stance (on-device operators stay
+    matrix-free; assembly remains a host-side oracle). Central gradient
+    flux + penalty, Dirichlet via uP=-uM, Neumann via gradient mirror
+    (the BC conventions of src/poisson2d/Poisson2d.hpp:70-129).
+
+    Returns the M-WEIGHTED residual (M A u), symmetric positive
+    semi-definite, so pair it with ``apply_mass_curved`` on the RHS and
+    solve with CG. Fields are (K, Np).
+    """
+    K = ctx.k_elem
+    NG = gauss.n_gauss
+    n_g = 3 * NG
+
+    if tau is None:
+        tau = (ctx.n_order + 1) ** 2 * jnp.max(ctx.fscale)
+
+    # --- traces of u at Gauss nodes, with BC substitution ---
+    at_g = lambda f: (f @ gauss.interp.T).reshape(-1)
+    gu = at_g(u)
+    mM = gauss.mapM.reshape(-1)
+    mP = gauss.mapP.reshape(-1)
+    uM, uP = gu[mM], gu[mP]
+    for tag in dirichlet_tags:
+        idx, mask = gauss.bc_idx[tag], gauss.bc_mask[tag]
+        uP = uP.at[idx].set(jnp.where(mask, -uM[idx], uP[idx]))
+    ustar = 0.5 * (uM + uP)
+    du = (uM - uP).reshape(K, n_g)
+
+    nxf = gauss.nx.reshape(-1)
+    nyf = gauss.ny.reshape(-1)
+
+    # --- pass 1: weak gradient q = grad u ---
+    # (q, v) = -(u, grad v) + surface(u* n v); per-element mass inverted.
+    uc = u @ cub.V.T  # (K, Ncub)
+
+    def weak(tx, ty):
+        return (cub.W * tx) @ cub.Dr + (cub.W * ty) @ cub.Ds  # Dr^T from right
+
+    sx_u = (gauss.W * (ustar * nxf).reshape(K, n_g)) @ gauss.interp
+    sy_u = (gauss.W * (ustar * nyf).reshape(K, n_g)) @ gauss.interp
+    MMqx = -weak(cub.rx * uc, cub.sx * uc) + sx_u
+    MMqy = -weak(cub.ry * uc, cub.sy * uc) + sy_u
+    inv = lambda mm: jnp.einsum("kij,kj->ki", cub.MMinv, mm)
+    qx, qy = inv(MMqx), inv(MMqy)
+
+    # --- traces of q, Neumann gradient mirror ---
+    gqx, gqy = at_g(qx), at_g(qy)
+    qxM, qxP = gqx[mM], gqx[mP]
+    qyM, qyP = gqy[mM], gqy[mP]
+    for tag in neumann_tags:
+        idx, mask = gauss.bc_idx[tag], gauss.bc_mask[tag]
+        qn = qxM[idx] * nxf[idx] + qyM[idx] * nyf[idx]
+        qxP = qxP.at[idx].set(jnp.where(mask, qxM[idx] - 2.0 * nxf[idx] * qn, qxP[idx]))
+        qyP = qyP.at[idx].set(jnp.where(mask, qyM[idx] - 2.0 * nyf[idx] * qn, qyP[idx]))
+
+    qnstar = (
+        0.5 * ((qxM + qxP) * nxf + (qyM + qyP) * nyf)
+    ).reshape(K, n_g) - tau * du
+
+    # --- pass 2: weak divergence  (M A u) = (q, grad v) - surface(qn* v) ---
+    qxc, qyc = qx @ cub.V.T, qy @ cub.V.T
+    vol = weak(cub.rx * qxc + cub.ry * qyc, cub.sx * qxc + cub.sy * qyc)
+    return vol - (gauss.W * qnstar) @ gauss.interp
+
+
 # ---------------------------------------------------------------------------
 # Host-side assembled SIP operator (verification oracle + direct-solve path)
 # ---------------------------------------------------------------------------

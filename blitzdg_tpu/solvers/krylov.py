@@ -28,6 +28,8 @@ CONV_SUCCESS = 0
 CONV_MAXITS = 1
 CONV_BREAKDOWN = 2
 CONV_INF_OR_NAN = 3
+CONV_DIVERGED = 4  # residual grew past div_tol * ||r0|| (GMRESSolver.hpp:67)
+CONV_STAGNATION = 5  # |dx_i| <= stg_tol*|x_i| for all i (GMRESSolver.hpp:158)
 
 
 class SolveResult(NamedTuple):
@@ -119,13 +121,20 @@ def gmres(
     restart: int = 30,
     maxiter: int = 100,
     precon: Callable | None = None,
+    div_tol: float = 1e5,
+    stg_tol: float = 1e-12,
 ) -> SolveResult:
     """Right-preconditioned restarted GMRES(m).
 
     Arnoldi with modified Gram-Schmidt; the small (m+1, m) Hessenberg least
     squares is solved densely per cycle (tiny, stays on device). ``maxiter``
-    counts outer restart cycles (reference default kspaceSz=30, maxits=100,
-    relTol=1e-6 — GMRESSolver.hpp:94-108).
+    counts outer restart cycles (reference defaults kspaceSz=30, maxits=100,
+    relTol=1e-6, divTol=1e5, stgTol=1e-12 — GMRESSolver.hpp:94-108).
+    Termination taxonomy mirrors the reference ConvFlag enum
+    (GMRESSolver.hpp:64-75): success / maxits / inf_or_nan, plus
+    diverged (``||r|| >= div_tol*||r0||``, GMRESSolver.hpp:364) and
+    stagnation (per-cycle solution update below ``stg_tol`` elementwise,
+    GMRESSolver.hpp:416-427).
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
@@ -172,25 +181,39 @@ def gmres(
         dx = precon(V[:m].T @ y)
         x_new = x + dx
         res = jnp.linalg.norm(b - matvec(x_new))
-        return x_new, res
+        # stagnation: every component moved by <= stg_tol relative to the
+        # iterate (GMRESSolver.hpp:416-420, inverted sense).
+        stag = jnp.all(jnp.abs(dx) <= stg_tol * jnp.abs(x_new))
+        return x_new, res, stag
 
     res0 = jnp.linalg.norm(b - matvec(x0))
-    state0 = (x0, res0, jnp.asarray(0))
+    false_ = jnp.asarray(False)
+    state0 = (x0, res0, jnp.asarray(0), false_, false_)
 
     def cond(state):
-        _, res, it = state
-        return (res / bnorm > tol) & (it < maxiter) & jnp.isfinite(res)
+        _, res, it, stag, div = state
+        return ((res / bnorm > tol) & (it < maxiter) & jnp.isfinite(res)
+                & ~stag & ~div)
 
     def body(state):
-        x, _, it = state
-        x, res = arnoldi_cycle(x)
-        return (x, res, it + 1)
+        x, _, it, _, _ = state
+        x, res, stag = arnoldi_cycle(x)
+        div = res >= div_tol * res0
+        return (x, res, it + 1, stag, div)
 
-    x, res, it = jax.lax.while_loop(cond, body, state0)
+    x, res, it, stag, div = jax.lax.while_loop(cond, body, state0)
     relres = res / bnorm
     flag = jnp.where(
         relres <= tol,
         CONV_SUCCESS,
-        jnp.where(jnp.isfinite(relres), CONV_MAXITS, CONV_INF_OR_NAN),
+        jnp.where(
+            ~jnp.isfinite(relres),
+            CONV_INF_OR_NAN,
+            jnp.where(
+                div,
+                CONV_DIVERGED,
+                jnp.where(stag, CONV_STAGNATION, CONV_MAXITS),
+            ),
+        ),
     )
     return SolveResult(x=x, iters=it, relres=relres, flag=flag)

@@ -210,3 +210,81 @@ def test_periodic_maps_box():
     # periodic partners: same y, x differing by the period
     np.testing.assert_allclose(y[vm], y[vp], atol=1e-9)
     np.testing.assert_allclose(np.abs(x[vm] - x[vp]), 2.0, atol=1e-9)
+
+
+class TestCurvedPoisson:
+    """Matrix-free curved Poisson (reference curved Poisson2DSparseMatrix
+    variant, src/Poisson2DSparseMatrix.cpp:37-317 — here applied matrix-free
+    on cubature/Gauss contexts per SURVEY §7.1)."""
+
+    def _box(self, N=4, cells=6):
+        from blitzdg_tpu.specgrid.triangle import build_triangle_context
+
+        mesh = box_triangles(cells, cells)
+        ctx = build_triangle_context(N, mesh)
+        cub = build_cubature_context(N, mesh, ctx.x, ctx.y, ctx.V)
+        gauss = build_gauss_face_context(N, mesh, ctx.x, ctx.y, ctx.V)
+        return ctx, cub, gauss
+
+    def test_symmetric_positive(self):
+        from blitzdg_tpu.ops.poisson import poisson2d_curved_op
+
+        ctx, cub, gauss = self._box(N=3, cells=4)
+        A = lambda v: poisson2d_curved_op(
+            ctx, cub, gauss, v.reshape(ctx.k_elem, ctx.n_p)
+        ).reshape(-1)
+        rng = np.random.default_rng(0)
+        n = ctx.k_elem * ctx.n_p
+        v = jnp.asarray(rng.normal(size=n))
+        w = jnp.asarray(rng.normal(size=n))
+        s1, s2 = float(jnp.vdot(v, A(w))), float(jnp.vdot(w, A(v)))
+        np.testing.assert_allclose(s1, s2, rtol=1e-12)
+        assert float(jnp.vdot(v, A(v))) > 0
+
+    def test_manufactured_solution_cg(self):
+        from blitzdg_tpu.ops.poisson import apply_mass_curved, poisson2d_curved_op
+        from blitzdg_tpu.solvers.krylov import CONV_SUCCESS, cg
+
+        ctx, cub, gauss = self._box(N=4, cells=6)
+        x, y = np.asarray(ctx.x), np.asarray(ctx.y)
+        kx = np.pi / 2.0  # domain [-1, 1]^2, sin vanishing on walls
+        uex = np.sin(kx * (x + 1.0)) * np.sin(kx * (y + 1.0))
+        f = 2.0 * kx**2 * uex
+
+        A = lambda v: poisson2d_curved_op(
+            ctx, cub, gauss, v.reshape(ctx.k_elem, ctx.n_p)
+        ).reshape(-1)
+        b = apply_mass_curved(cub, jnp.asarray(f)).reshape(-1)
+        res = cg(A, b, tol=1e-10, maxiter=2000)
+        assert int(res.flag) == CONV_SUCCESS
+        err = np.abs(np.asarray(res.x).reshape(x.shape) - uex).max()
+        assert err < 5e-5, err
+
+    def test_curved_disk_poisson(self):
+        """-lap u = 4 on the unit disk, u=0 on the (curved) boundary:
+        exact u = 1 - x^2 - y^2. Gordon-Hall curved elements must beat the
+        straight-sided operator near the circular boundary."""
+        from blitzdg_tpu.ops.poisson import apply_mass_curved, poisson2d_curved_op
+        from blitzdg_tpu.solvers.krylov import CONV_SUCCESS, cg
+        from blitzdg_tpu.specgrid.triangle import build_triangle_context
+
+        N = 4
+        mesh = disk_triangles(2, radius=1.0)
+        proj = circle_projection(0.0, 0.0, 1.0)
+        curved_faces = snap_boundary_vertices(mesh, proj, tol=0.3)
+        ctx_host = build_triangle_context(N, mesh, dtype=None)
+        x2, y2, _ = gordon_hall_deform(N, mesh, ctx_host.x, ctx_host.y, curved_faces, proj)
+        ctx = build_triangle_context(N, mesh, coords=(x2, y2))
+        cub = build_cubature_context(N, mesh, x2, y2, ctx_host.V)
+        gauss = build_gauss_face_context(N, mesh, x2, y2, ctx_host.V)
+
+        uex = 1.0 - x2**2 - y2**2
+        f = jnp.full_like(jnp.asarray(uex), 4.0)
+        A = lambda v: poisson2d_curved_op(
+            ctx, cub, gauss, v.reshape(ctx.k_elem, ctx.n_p)
+        ).reshape(-1)
+        b = apply_mass_curved(cub, f).reshape(-1)
+        res = cg(A, b, tol=1e-11, maxiter=3000)
+        assert int(res.flag) == CONV_SUCCESS
+        err = np.abs(np.asarray(res.x).reshape(x2.shape) - uex).max()
+        assert err < 1e-3, err

@@ -136,3 +136,19 @@ def test_compat_csv_readers():
     mm.readVertices(os.path.join(ref, "2box.V"))
     mm.readElements(os.path.join(ref, "2box.E2V"))
     assert mm.numElements == 2
+
+
+def test_read_depth_data(tmp_path):
+    """readDepthData analog (reference src/sw2d/main.cpp:486-515): one value
+    per row, element-major fill (node fastest), clip-up at 150 m, zero-fill
+    for missing trailing values."""
+    from blitzdg_tpu.io.csv import read_depth_data
+
+    vals = [200.0, 100.0, 175.5, 149.9, 300.0]
+    p = tmp_path / "depth.oct"
+    p.write_text("\n".join(str(v) for v in vals) + "\n")
+    H = read_depth_data(str(p), k_elem=2, n_p=3)
+    assert H.shape == (2, 3)
+    # shallow values clipped up to 150; order is (k, n) with n fastest
+    np.testing.assert_allclose(H[0], [200.0, 150.0, 175.5])
+    np.testing.assert_allclose(H[1], [150.0, 300.0, 0.0])  # trailing zero

@@ -178,3 +178,42 @@ class TestPoisson2D:
         np.testing.assert_allclose(A, A.T, atol=1e-8 * np.abs(A).max())
         w = np.linalg.eigvalsh(0.5 * (A + A.T))
         assert np.all(w > -1e-6)
+
+
+class TestGMRESFlags:
+    """Extended ConvFlag taxonomy (reference GMRESSolver.hpp:64-75)."""
+
+    def test_gmres_stagnation_flag(self):
+        from blitzdg_tpu.solvers.krylov import CONV_STAGNATION
+
+        # singular consistent-ish system where the update stalls: with a
+        # huge stg_tol any nonzero first cycle is "stagnant" on cycle 2
+        rng = np.random.default_rng(3)
+        A = rng.normal(size=(20, 20)) + 10 * np.eye(20)
+        b = jnp.asarray(rng.normal(size=20))
+        res = gmres(lambda v: jnp.asarray(A) @ v, b, tol=1e-30, restart=2,
+                    maxiter=50, stg_tol=1e30)
+        assert int(res.flag) == CONV_STAGNATION
+
+    def test_gmres_diverged_flag(self):
+        from blitzdg_tpu.solvers.krylov import CONV_DIVERGED
+
+        # operator whose GMRES(1) residual grows: use div_tol < 1 so any
+        # non-decreasing residual trips the divergence check
+        rng = np.random.default_rng(4)
+        Q = np.linalg.qr(rng.normal(size=(16, 16)))[0]
+        A = Q @ np.diag(np.linspace(1e-6, 1.0, 16)) @ Q.T  # ill-conditioned
+        b = jnp.asarray(rng.normal(size=16))
+        res = gmres(lambda v: jnp.asarray(A) @ v, b, tol=1e-30, restart=1,
+                    maxiter=100, div_tol=1e-12)
+        assert int(res.flag) == CONV_DIVERGED
+
+    def test_gmres_defaults_still_converge(self):
+        rng = np.random.default_rng(5)
+        A = rng.normal(size=(24, 24)) + 8 * np.eye(24)
+        b = jnp.asarray(rng.normal(size=24))
+        res = gmres(lambda v: jnp.asarray(A) @ v, b, tol=1e-10)
+        assert int(res.flag) == CONV_SUCCESS
+        np.testing.assert_allclose(
+            np.asarray(res.x), np.linalg.solve(A, np.asarray(b)), atol=1e-7
+        )
