@@ -241,3 +241,29 @@ def test_structured_face_trace_matches_flat_gather():
         fMb, fPb = ctx.surface_trace(ub)
         np.testing.assert_array_equal(np.asarray(fPb[0]).reshape(-1),
                                       np.asarray(fP_ref))
+
+
+def test_interp_matrix_2d_exact_for_polynomials():
+    """Interpolation to arbitrary (r,s) is exact for polynomials of total
+    degree <= N (reference analog: computeInterpMatrix,
+    src/TriangleNodesProvisioner.cpp:1140-1152)."""
+    from blitzdg_tpu.specgrid.triangle import (
+        interp_matrix_2d,
+        triangle_nodes,
+        vandermonde_2d,
+    )
+
+    N = 5
+    r, s = triangle_nodes(N)
+    V = vandermonde_2d(N, r, s)
+    rng = np.random.default_rng(7)
+    # random points inside the reference triangle (barycentric samples)
+    lam = rng.dirichlet((1.0, 1.0, 1.0), size=40)
+    verts = np.array([[-1.0, -1.0], [1.0, -1.0], [-1.0, 1.0]])
+    pts = lam @ verts
+    ro, so = pts[:, 0], pts[:, 1]
+    IM = interp_matrix_2d(N, V, ro, so)
+    assert IM.shape == (40, r.size)
+    for p, q in [(0, 0), (3, 2), (5, 0), (2, 3), (0, 5)]:
+        f_nodal = r**p * s**q
+        np.testing.assert_allclose(IM @ f_nodal, ro**p * so**q, atol=1e-10)
