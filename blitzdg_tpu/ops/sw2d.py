@@ -46,6 +46,9 @@ class SWPhysics:
     Hx: jnp.ndarray | None = None  # bed slopes (K, Np)
     Hy: jnp.ndarray | None = None
     sponge: jnp.ndarray | None = None  # relaxation coefficient (K, Np)
+    # hydrostatic-reconstruction well-balancing at faces; active only when
+    # bathymetry (H) is present (reference sw2d/main.cpp:356-368, 419-421)
+    well_balanced: bool = flax.struct.field(pytree_node=False, default=True)
 
 
 def _traces(ctx: DGContext2D, f: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -60,6 +63,80 @@ def _safe_norm(u, v):
     return jnp.where(r2 > 0.0, r, 0.0)
 
 
+def _lf_flux_jumps(g, n_fp, nxf, nyf, hM, hP, huM, huP, hvM, hvP,
+                   HM=None, HP=None):
+    """Strong-form flux jumps (F(UM) - F̂)·n with per-face trace-max
+    Lax-Friedrichs stabilization.
+
+    Without bathymetry traces (HM/HP None) this is the plain LF flux of
+    sw2d-simple (reference src/sw2d-simple/main.cpp:262-312). With them it
+    applies **hydrostatic-reconstruction well-balancing** (Audusse et al.;
+    reference intent src/sw2d/main.cpp:356-368 star variables and :419-421
+    pressure-flux correction — the shipped code's momentum rescale and
+    correction are no-ops because hM/huM are overwritten first; here the
+    scheme is derived correctly):
+
+      b* = max(bM, bP),  h⋆ = max(0, h + b - b*),  u⋆ = u (velocity kept)
+      F̂ = ½(F(U⋆M)+F(U⋆P))·n - ½λ(q⋆P-q⋆M) + (0, g/2(hM²-h⋆M²)·n)
+
+    In strong form the pressure corrections cancel against F(UM)-F(U⋆M),
+    leaving purely advective consistency terms (hM-h⋆M)(u·n)M·(1, uM, vM).
+    At a lake at rest (h+b continuous, u=0) every term vanishes exactly —
+    machine-zero RHS over arbitrarily steep/discontinuous bathymetry.
+    """
+    if HM is not None:
+        uM, vM = huM / hM, hvM / hM
+        uP, vP = huP / hP, hvP / hP
+        bstar = jnp.maximum(-HM, -HP)
+        hMs = jnp.maximum(0.0, hM - HM - bstar)
+        hPs = jnp.maximum(0.0, hP - HP - bstar)
+        corr = (hM - hMs) * (uM * nxf + vM * nyf)
+
+        # flux tensors from (h⋆, u, v) — no division by the (possibly dry)
+        # starred depth anywhere
+        def flux_uv(hh, uu, vv):
+            p = 0.5 * g * hh * hh
+            F1, G1 = hh * uu, hh * vv
+            F2 = hh * uu * uu + p
+            G2 = hh * uu * vv
+            G3 = hh * vv * vv + p
+            return F1, F2, G2, G1, G2, G3
+
+        F1M, F2M, F3M, G1M, G2M, G3M = flux_uv(hMs, uM, vM)
+        F1P, F2P, F3P, G1P, G2P, G3P = flux_uv(hPs, uP, vP)
+        spdM = _safe_norm(uM, vM) + jnp.sqrt(g * hMs)
+        spdP = _safe_norm(uP, vP) + jnp.sqrt(g * hPs)
+        dh, dhu, dhv = hMs - hPs, F1M - F1P, G1M - G1P
+    else:
+        def flux(hh, hhu, hhv):
+            inv_h = 1.0 / hh
+            p = 0.5 * g * hh * hh
+            F2 = hhu * hhu * inv_h + p
+            G2 = hhu * hhv * inv_h
+            G3 = hhv * hhv * inv_h + p
+            return hhu, F2, G2, hhv, G2, G3
+
+        F1M, F2M, F3M, G1M, G2M, G3M = flux(hM, huM, hvM)
+        F1P, F2P, F3P, G1P, G2P, G3P = flux(hP, huP, hvP)
+        spdM = _safe_norm(huM / hM, hvM / hM) + jnp.sqrt(g * hM)
+        spdP = _safe_norm(huP / hP, hvP / hP) + jnp.sqrt(g * hP)
+        dh, dhu, dhv = hM - hP, huM - huP, hvM - hvP
+        corr = None
+
+    spd = jnp.maximum(spdM, spdP).reshape(-1, n_fp)
+    lam = jnp.max(spd, axis=1, keepdims=True)  # max over each face
+    lam = jnp.broadcast_to(lam, spd.shape).reshape(-1)
+
+    dflux1 = 0.5 * ((F1M - F1P) * nxf + (G1M - G1P) * nyf - lam * dh)
+    dflux2 = 0.5 * ((F2M - F2P) * nxf + (G2M - G2P) * nyf - lam * dhu)
+    dflux3 = 0.5 * ((F3M - F3P) * nxf + (G3M - G3P) * nyf - lam * dhv)
+    if corr is not None:
+        dflux1 = dflux1 + corr
+        dflux2 = dflux2 + corr * uM
+        dflux3 = dflux3 + corr * vM
+    return dflux1, dflux2, dflux3
+
+
 @dg_op
 def sw2d_rhs(
     ctx: DGContext2D,
@@ -70,8 +147,14 @@ def sw2d_rhs(
 ) -> SWState:
     """Strong-form DG RHS with per-face trace-max Lax-Friedrichs flux.
 
-    ``tidal_forcing(t)`` optionally returns the prescribed surface elevation
+    ``tidal_forcing(t)`` optionally returns the prescribed total water depth
     for BC_OUT open-boundary nodes (reference sw2d main.cpp:347-353).
+
+    When bathymetry is present (phys.H) and phys.well_balanced, the face
+    fluxes use hydrostatic-reconstruction star variables with the pressure
+    correction (see _lf_flux_jumps; reference sw2d/main.cpp:356-368,419-421)
+    so lake-at-rest states over arbitrary — even inter-element-discontinuous
+    — bathymetry produce a machine-zero RHS.
     """
     K, n_fp, n_faces = ctx.k_elem, ctx.n_fp, ctx.n_faces
     n_tr = n_faces * n_fp
@@ -104,9 +187,16 @@ def sw2d_rhs(
         h_bc = jnp.broadcast_to(jnp.asarray(h_bc, dtype=hP.dtype), ob_idx.shape)
         hP = hP.at[ob_idx].set(jnp.where(ob_mask, h_bc, hP[ob_idx]))
 
-    dh, dhu, dhv = hM - hP, huM - huP, hvM - hvP
+    # Bathymetry traces for hydrostatic-reconstruction well-balancing.
+    HMt = HPt = None
+    if phys.H is not None and phys.well_balanced:
+        HMt, HPt = _traces(ctx, phys.H)
 
-    # Flux tensors on both traces.
+    dflux1, dflux2, dflux3 = _lf_flux_jumps(
+        g, n_fp, nxf, nyf, hM, hP, huM, huP, hvM, hvP, HMt, HPt
+    )
+
+    # Volume flux divergence.
     def flux(hh, hhu, hhv):
         inv_h = 1.0 / hh
         F1, G1 = hhu, hhv
@@ -116,22 +206,6 @@ def sw2d_rhs(
         G3 = hhv * hhv * inv_h + 0.5 * g * hh * hh
         return F1, F2, F3, G1, G2, G3
 
-    F1M, F2M, F3M, G1M, G2M, G3M = flux(hM, huM, hvM)
-    F1P, F2P, F3P, G1P, G2P, G3P = flux(hP, huP, hvP)
-
-    # Per-face trace-max linearized wavespeed (LF stabilization).
-    spdM = _safe_norm(huM / hM, hvM / hM) + jnp.sqrt(g * hM)
-    spdP = _safe_norm(huP / hP, hvP / hP) + jnp.sqrt(g * hP)
-    spd = jnp.maximum(spdM, spdP).reshape(K * n_faces, n_fp)
-    lam = jnp.max(spd, axis=1, keepdims=True)  # max over each face
-    lam = jnp.broadcast_to(lam, spd.shape).reshape(-1)
-
-    # Strong-form flux jumps (fluxM - numerical flux) . n
-    dflux1 = 0.5 * ((F1M - F1P) * nxf + (G1M - G1P) * nyf - lam * dh)
-    dflux2 = 0.5 * ((F2M - F2P) * nxf + (G2M - G2P) * nyf - lam * dhu)
-    dflux3 = 0.5 * ((F3M - F3P) * nxf + (G3M - G3P) * nyf - lam * dhv)
-
-    # Volume flux divergence.
     F1, F2, F3, G1, G2, G3 = flux(h, hu, hv)
 
     def div(F, G):

@@ -1,4 +1,11 @@
-from .halo import HaloPlan, build_halo_plan, halo_sw2d_rhs, halo_tables, halo_traces
+from .halo import (
+    HaloPlan,
+    build_halo_plan,
+    halo_sw2d_rhs,
+    halo_sw2d_timestep,
+    halo_tables,
+    halo_traces,
+)
 from .partition import partition_mesh, rcb_partition
 from .sharding import make_device_mesh, shard_context, sharded_sw2d_rhs
 
@@ -13,4 +20,5 @@ __all__ = [
     "halo_tables",
     "halo_traces",
     "halo_sw2d_rhs",
+    "halo_sw2d_timestep",
 ]

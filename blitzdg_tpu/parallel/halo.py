@@ -22,8 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import dg_op
-from ..context import BC_WALL, DGContext2D, face_trace_structure
-from ..ops.sw2d import SWPhysics, SWState, _safe_norm
+from ..context import BC_OUT, BC_WALL, DGContext2D, face_trace_structure
+from ..ops.sw2d import SWPhysics, SWState, _lf_flux_jumps, _safe_norm
 
 
 class HaloPlan(NamedTuple):
@@ -142,6 +142,15 @@ def halo_traces(fields, ctx, plan_row, plan: HaloPlan, axis_name: str):
     return fMf.reshape(nF, -1), fP.reshape(nF, -1)
 
 
+def _localize_bc(g_idx, g_mask, my, local_size):
+    """Localize replicated GLOBAL trace indices to this shard: entries owned
+    elsewhere become out-of-range (dropped by scatter mode='drop')."""
+    mine = g_mask & (g_idx // local_size == my)
+    idx = jnp.where(mine, g_idx % local_size, local_size)
+    safe = jnp.where(mine, idx, 0)
+    return idx, safe, mine
+
+
 @dg_op
 def halo_sw2d_rhs(
     ctx: DGContext2D,
@@ -151,39 +160,66 @@ def halo_sw2d_rhs(
     tables,  # halo_tables(plan) rows, shard axis consumed by shard_map
     plan: HaloPlan,  # static metadata (offs, n_shards); closed over
     axis_name: str = "element",
+    tidal_forcing=None,
 ) -> SWState:
-    """sw2d RHS for use INSIDE shard_map over the element axis, with
-    ppermute halo exchange (same physics as sharding.sharded_sw2d_rhs;
-    communication is the halo, not the domain).
+    """Full sw2d RHS for use INSIDE shard_map over the element axis, with
+    ppermute halo exchange (communication is the halo, not the domain).
+
+    Feature-parity with ops.sw2d.sw2d_rhs: wall reflection, BC_OUT tidal
+    forcing (reference sw2d/main.cpp:347-353), hydrostatic-reconstruction
+    well-balancing when phys.H is present (the bathymetry trace joins the
+    halo exchange), and the bed-slope/drag/Coriolis sources — so the coastal
+    workload runs element-sharded with results identical to single-device.
 
     ctx: per-shard context blocks (as in sharded_sw2d_rhs); `tables` must
     be passed through shard_map with P(axis) on their leading dim and
-    arrive here with that leading length-1 axis intact."""
+    arrive here with that leading length-1 axis intact. phys.H/Hx/Hy/sponge
+    (when present) must be sharded P(axis, None) like the state."""
     K_loc = state.h.shape[0]
     n_tr = ctx.n_faces * ctx.n_fp
     g = phys.g
     my = jax.lax.axis_index(axis_name)
 
+    wb = phys.H is not None and phys.well_balanced
+    fields = tuple(state) + ((phys.H,) if wb else ())
+
     plan_row = tuple(a[0] for a in tables)
-    fM, fP = halo_traces(tuple(state), ctx, plan_row, plan, axis_name)
-    hM, huM, hvM = fM
-    hP, huP, hvP = fP
+    fM, fP = halo_traces(fields, ctx, plan_row, plan, axis_name)
+    if wb:
+        hM, huM, hvM, HMt = fM
+        hP, huP, hvP, HPt = fP
+    else:
+        hM, huM, hvM = fM
+        hP, huP, hvP = fP
+        HMt = HPt = None
 
     nxf = ctx.nx.reshape(-1)
     nyf = ctx.ny.reshape(-1)
-
-    # Wall BC on global (replicated) trace indices, localized to this shard
     local_size = K_loc * n_tr
-    g_idx = ctx.bc_maps.idx[BC_WALL]
-    g_mask = ctx.bc_maps.mask[BC_WALL]
-    mine = g_mask & (g_idx // local_size == my)
-    wall_idx = jnp.where(mine, g_idx % local_size, local_size)
-    safe = jnp.where(mine, wall_idx, 0)
+
+    # Wall BC: reflect the normal momentum component.
+    wall_idx, safe, _ = _localize_bc(
+        ctx.bc_maps.idx[BC_WALL], ctx.bc_maps.mask[BC_WALL], my, local_size
+    )
     un2 = 2.0 * (huM[safe] * nxf[safe] + hvM[safe] * nyf[safe])
     huP = huP.at[wall_idx].set(huM[safe] - un2 * nxf[safe], mode="drop")
     hvP = hvP.at[wall_idx].set(hvM[safe] - un2 * nyf[safe], mode="drop")
 
-    dh, dhu, dhv = hM - hP, huM - huP, hvM - hvP
+    # Open-boundary tidal forcing: prescribe total depth on BC_OUT nodes.
+    if tidal_forcing is not None:
+        ob_idx, _, _ = _localize_bc(
+            ctx.bc_maps.idx[BC_OUT], ctx.bc_maps.mask[BC_OUT], my, local_size
+        )
+        h_bc = jnp.broadcast_to(
+            jnp.asarray(tidal_forcing(t), dtype=hP.dtype), ob_idx.shape
+        )
+        hP = hP.at[ob_idx].set(h_bc, mode="drop")
+
+    dflux1, dflux2, dflux3 = _lf_flux_jumps(
+        g, ctx.n_fp, nxf, nyf, hM, hP, huM, huP, hvM, hvP, HMt, HPt
+    )
+
+    h, hu, hv = state
 
     def flux(hh, hhu, hhv):
         inv_h = 1.0 / hh
@@ -192,20 +228,6 @@ def halo_sw2d_rhs(
         G3 = hhv * hhv * inv_h + 0.5 * g * hh * hh
         return hhu, F2, G2, hhv, G2, G3
 
-    F1M, F2M, F3M, G1M, G2M, G3M = flux(hM, huM, hvM)
-    F1P, F2P, F3P, G1P, G2P, G3P = flux(hP, huP, hvP)
-
-    spdM = _safe_norm(huM / hM, hvM / hM) + jnp.sqrt(g * hM)
-    spdP = _safe_norm(huP / hP, hvP / hP) + jnp.sqrt(g * hP)
-    spd = jnp.maximum(spdM, spdP).reshape(K_loc * ctx.n_faces, ctx.n_fp)
-    lam = jnp.max(spd, axis=1, keepdims=True)
-    lam = jnp.broadcast_to(lam, spd.shape).reshape(-1)
-
-    dflux1 = 0.5 * ((F1M - F1P) * nxf + (G1M - G1P) * nyf - lam * dh)
-    dflux2 = 0.5 * ((F2M - F2P) * nxf + (G2M - G2P) * nyf - lam * dhu)
-    dflux3 = 0.5 * ((F3M - F3P) * nxf + (G3M - G3P) * nyf - lam * dhv)
-
-    h, hu, hv = state
     F1, F2, F3, G1, G2, G3 = flux(h, hu, hv)
 
     def div(F, G):
@@ -214,8 +236,34 @@ def halo_sw2d_rhs(
         return ctx.rx * Fr + ctx.sx * Fs + ctx.ry * Gr + ctx.sy * Gs
 
     surf = lambda d: (ctx.fscale * d.reshape(K_loc, n_tr)) @ ctx.lift.T
-    return SWState(
-        h=-div(F1, G1) + surf(dflux1),
-        hu=-div(F2, G2) + surf(dflux2),
-        hv=-div(F3, G3) + surf(dflux3),
-    )
+    rhs1 = -div(F1, G1) + surf(dflux1)
+    rhs2 = -div(F2, G2) + surf(dflux2)
+    rhs3 = -div(F3, G3) + surf(dflux3)
+
+    # Source terms (all shard-local; reference sw2d main.cpp:460-483).
+    if phys.Hx is not None:
+        rhs2 = rhs2 + g * h * phys.Hx
+        rhs3 = rhs3 + g * h * phys.Hy
+    if phys.cd != 0.0:
+        u, v = hu / h, hv / h
+        norm_u = _safe_norm(u, v)
+        rhs2 = rhs2 - phys.cd * norm_u * u
+        rhs3 = rhs3 - phys.cd * norm_u * v
+    if phys.f_cor != 0.0:
+        rhs2 = rhs2 + phys.f_cor * hv
+        rhs3 = rhs3 - phys.f_cor * hu
+
+    return SWState(h=rhs1, hu=rhs2, hv=rhs3)
+
+
+def halo_sw2d_timestep(ctx: DGContext2D, state: SWState, g: float, cfl: float,
+                       axis_name: str = "element"):
+    """Adaptive dt INSIDE shard_map: the per-shard face-max wavespeed is
+    reduced with `lax.pmax` over the element axis (the sharded form of
+    sw2d_timestep's global max; reference sw2d-simple main.cpp:108-109)."""
+    h, hu, hv = state
+    spd = _safe_norm(hu / h, hv / h) + jnp.sqrt(g * h)
+    spdM = spd[:, ctx.fmask.reshape(-1)]  # local '-' trace, no halo needed
+    fsc = jnp.max(jnp.abs(ctx.fscale) * spdM)
+    fsc = jax.lax.pmax(fsc, axis_name)
+    return cfl / ((ctx.n_order + 1) ** 2 * 0.5 * fsc)

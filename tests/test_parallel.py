@@ -99,6 +99,113 @@ def test_shard_map_halo_exchange_matches_single(problem):
     np.testing.assert_allclose(np.asarray(out.hv), np.asarray(ref.hv), atol=1e-11)
 
 
+def _context_specs(ctx):
+    def spec_for(name, a):
+        if hasattr(a, "shape") and a.ndim >= 1 and a.shape[0] == ctx.k_elem \
+                and name not in ("r", "s", "gather_ids", "scatter_ids",
+                                 "mapB", "maskB", "vmapB"):
+            return P("element", *([None] * (a.ndim - 1)))
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, a: spec_for(
+            path[0].name if hasattr(path[0], "name") else "", a),
+        ctx,
+    )
+
+
+def test_halo_coastal_rollout_matches_single():
+    """Full coastal physics (discontinuous bathymetry + well-balancing +
+    tidal BC_OUT forcing + drag + Coriolis) with ppermute halo exchange and
+    `lax.pmax` adaptive dt INSIDE shard_map, rolled out for 10 SSP-RK2
+    steps, must match the single-device rollout to roundoff."""
+    from blitzdg_tpu.context import BC_OUT
+    from blitzdg_tpu.ops.sw2d import sw2d_timestep
+    from blitzdg_tpu.parallel import (
+        build_halo_plan,
+        halo_sw2d_rhs,
+        halo_sw2d_timestep,
+        halo_tables,
+    )
+    from blitzdg_tpu.timestepping import ssprk2_step
+
+    mesh0 = box_triangles(4, 8)  # K = 64
+    # open (tidal) boundary on the east edge
+    mids_x = 0.5 * (
+        mesh0.verts[mesh0.etov][:, :, 0]
+        + mesh0.verts[mesh0.etov[:, [1, 2, 0]]][:, :, 0]
+    )
+    bc = mesh0.bc_type.copy()
+    bc[(bc > 0) & (np.abs(mids_x - 1.0) < 1e-6)] = BC_OUT
+    mesh0.set_bc_type(bc)
+
+    mesh2d, perm, kp = partition_mesh(mesh0, NDEV)
+    ctx = build_triangle_context(2, mesh2d)
+
+    rng = np.random.default_rng(3)
+    H = 10.0 + 2.0 * ctx.x + jnp.asarray(
+        rng.uniform(0.0, 1.0, size=(ctx.k_elem, 1)))
+    Hx, Hy = ctx.grad(H)
+    phys = SWPhysics(g=9.81, cd=2.5e-3, f_cor=1e-4, H=H, Hx=Hx, Hy=Hy)
+
+    forcing = lambda t: 12.0 + 0.5 * jnp.cos(0.3 * t)
+    eta = 0.1 * jnp.exp(-5.0 * (ctx.x**2 + ctx.y**2))
+    state0 = SWState(h=H + eta, hu=0.05 * eta, hv=jnp.zeros_like(eta))
+    cfl = 0.3
+
+    # --- single-device truth
+    def ref_step(s, t):
+        dt = sw2d_timestep(ctx, s, phys.g, cfl)
+        rhs = lambda ss, tt: sw2d_rhs(ctx, ss, tt, phys, tidal_forcing=forcing)
+        return ssprk2_step(rhs, s, t, dt), t + dt
+
+    @jax.jit
+    def ref_run(s):
+        def body(carry, _):
+            return ref_step(*carry), None
+        (s, t), _ = jax.lax.scan(body, (s, 0.0), None, length=10)
+        return s, t
+
+    ref, t_ref = ref_run(state0)
+
+    # --- sharded rollout
+    plan = build_halo_plan(ctx, NDEV)
+    tables = halo_tables(plan)
+    devmesh = make_device_mesh(1, NDEV)
+    el2 = P("element", None)
+    ctx_specs = _context_specs(ctx)
+    state_specs = jax.tree.map(lambda a: el2, state0)
+    phys_specs = jax.tree.map(lambda a: el2, phys)
+    table_specs = tuple(P("element", *([None] * (a.ndim - 1))) for a in tables)
+
+    def shard_body(c, s, t, ph, tb):
+        dt = halo_sw2d_timestep(c, s, ph.g, cfl)
+        rhs = lambda ss, tt: halo_sw2d_rhs(
+            c, ss, tt, ph, tb, plan, tidal_forcing=forcing)
+        return ssprk2_step(rhs, s, t, dt), t + dt
+
+    fn = jax.shard_map(
+        shard_body,
+        mesh=devmesh,
+        in_specs=(ctx_specs, state_specs, P(), phys_specs, table_specs),
+        out_specs=(state_specs, P()),
+    )
+
+    @jax.jit
+    def shard_run(s):
+        def body(carry, _):
+            ss, t = carry
+            return fn(ctx, ss, t, phys, tables), None
+        (s, t), _ = jax.lax.scan(body, (s, 0.0), None, length=10)
+        return s, t
+
+    out, t_out = shard_run(state0)
+    np.testing.assert_allclose(float(t_out), float(t_ref), rtol=1e-14)
+    np.testing.assert_allclose(np.asarray(out.h), np.asarray(ref.h), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(out.hu), np.asarray(ref.hu), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(out.hv), np.asarray(ref.hv), atol=1e-11)
+
+
 def test_ppermute_halo_exchange_matches_single(problem):
     """The precomputed-table ppermute halo exchange (communication = the
     cut, not the domain) must reproduce the single-device RHS exactly."""

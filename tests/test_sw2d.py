@@ -48,6 +48,82 @@ def test_rhs_zero_for_lake_at_rest():
     np.testing.assert_allclose(np.asarray(rhs.hv), 0.0, atol=1e-8)
 
 
+def _steep_discontinuous_bathymetry(ctx, seed=0):
+    """Kinked shelf profile plus steep per-element offsets — the sharpest
+    form of elementwise (.oct-style, reference sw2d/main.cpp:486-515)
+    bathymetry data: both the value and the slope of H jump across faces."""
+    rng = np.random.default_rng(seed)
+    H = 10.0 + 5.0 * jnp.abs(ctx.x)
+    H = H + jnp.asarray(rng.uniform(0.0, 8.0, size=(ctx.k_elem, 1)))
+    Hx, Hy = ctx.grad(H)  # elementwise polynomial derivative
+    return H, Hx, Hy
+
+
+def test_well_balanced_linear_shelf():
+    """Lake at rest over a continuous linear shelf: machine-zero RHS."""
+    ctx, _, _ = make_problem(N=3)
+    H = 10.0 + 5.0 * ctx.x
+    Hx, Hy = ctx.grad(H)
+    phys = SWPhysics(g=9.81, H=H, Hx=Hx, Hy=Hy)
+    state = SWState(h=H, hu=jnp.zeros_like(H), hv=jnp.zeros_like(H))
+    rhs = sw2d_rhs(ctx, state, 0.0, phys)
+    scale = 9.81 * 15.0 * 5.0  # g*h*Hx magnitude
+    assert float(jnp.max(jnp.abs(rhs.h))) < 1e-12 * scale
+    assert float(jnp.max(jnp.abs(rhs.hu))) < 1e-12 * scale
+    assert float(jnp.max(jnp.abs(rhs.hv))) < 1e-12 * scale
+
+
+def test_well_balanced_discontinuous_bathymetry():
+    """Lake at rest over steep inter-element-DISCONTINUOUS bathymetry
+    (reference intent sw2d/main.cpp:356-368, 419-421): the hydrostatic-
+    reconstruction scheme holds machine-zero RHS where the naive bed-slope
+    scheme generates spurious currents at the bathymetry jumps."""
+    ctx, _, _ = make_problem(N=2)
+    H, Hx, Hy = _steep_discontinuous_bathymetry(ctx)
+    state = SWState(h=H, hu=jnp.zeros_like(H), hv=jnp.zeros_like(H))
+    scale = float(9.81 * jnp.max(H) * jnp.max(jnp.abs(H)))
+
+    phys = SWPhysics(g=9.81, H=H, Hx=Hx, Hy=Hy, well_balanced=True)
+    rhs = sw2d_rhs(ctx, state, 0.0, phys)
+    assert float(jnp.max(jnp.abs(rhs.h))) < 1e-12 * scale
+    assert float(jnp.max(jnp.abs(rhs.hu))) < 1e-12 * scale
+    assert float(jnp.max(jnp.abs(rhs.hv))) < 1e-12 * scale
+
+    naive = SWPhysics(g=9.81, H=H, Hx=Hx, Hy=Hy, well_balanced=False)
+    rhs_n = sw2d_rhs(ctx, state, 0.0, naive)
+    # the naive LF flux sees the h jumps as waves: O(1) spurious RHS
+    assert float(jnp.max(jnp.abs(rhs_n.h))) > 1e-4 * scale
+
+
+def test_well_balanced_rollout_no_spurious_currents():
+    """A resting coastal state over steep discontinuous bathymetry must stay
+    at rest through a time-stepped rollout (no filter — the modal filter is
+    not well-balance-preserving by construction)."""
+    ctx, _, _ = make_problem(N=2)
+    H, Hx, Hy = _steep_discontinuous_bathymetry(ctx, seed=1)
+    phys = SWPhysics(g=9.81, H=H, Hx=Hx, Hy=Hy)
+    state0 = SWState(h=H, hu=jnp.zeros_like(H), hv=jnp.zeros_like(H))
+
+    def rhs(s, t):
+        return sw2d_rhs(ctx, s, t, phys)
+
+    @jax.jit
+    def run(state):
+        def body(carry, _):
+            s, t = carry
+            dt = sw2d_timestep(ctx, s, phys.g, 0.3)
+            return (ssprk2_step(rhs, s, t, dt), t + dt), None
+
+        (s, t), _ = jax.lax.scan(body, (state, 0.0), None, length=100)
+        return s, t
+
+    state, t = run(state0)
+    assert float(t) > 0
+    assert float(jnp.max(jnp.abs(state.h - H))) < 1e-10
+    assert float(jnp.max(jnp.abs(state.hu))) < 1e-10
+    assert float(jnp.max(jnp.abs(state.hv))) < 1e-10
+
+
 def test_sw2d_stable_and_conserves_mass():
     ctx, phys, state0 = make_problem(N=1, cells=4)
     cfl = 0.65
