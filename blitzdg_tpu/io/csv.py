@@ -34,8 +34,10 @@ def read_depth_data(path: str, k_elem: int, n_p: int,
     analog: src/sw2d/main.cpp:486-515 `readDepthData`): one depth value per
     row, filled element-major with the node index fastest, depths shallower
     than ``clip_min`` metres clipped up to ``clip_min`` (main.cpp:506-507).
-    Returns H with our (K, Np) element-major layout; missing trailing values
-    stay 0 like the reference's zero-initialised buffer."""
+    Returns H with our (K, Np) element-major layout. ALL Np*K entries run
+    through the clip — missing trailing values (zero-initialised buffer in
+    the reference) therefore become ``clip_min``, not 0 (depth 0 would be
+    physically degenerate for sw2d: zero wave speed, division by h)."""
     vals = []
     with open(path) as f:
         for line in f:
@@ -45,7 +47,7 @@ def read_depth_data(path: str, k_elem: int, n_p: int,
     H = np.zeros(k_elem * n_p)
     n = min(len(vals), H.size)
     H[:n] = vals[:n]
-    H[:n] = np.maximum(H[:n], clip_min)
+    H = np.maximum(H, clip_min)
     return H.reshape(k_elem, n_p)
 
 

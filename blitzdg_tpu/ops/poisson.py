@@ -297,6 +297,10 @@ def assemble_poisson2d(ctx: DGContext2D, bordered: bool = False):
 
     bc_table = np.asarray(ctx.bc_table) if ctx.bc_table is not None else None
 
+    # neighbor face table for the symmetric penalty scale (below)
+    face_nbr = (np.asarray(ctx.face_nbr).reshape(K, n_faces)
+                if ctx.face_nbr is not None else None)
+
     for k in range(K):
         Dx = rx[k, 0] * Dr + sx[k, 0] * Ds  # affine elements: constant metric
         Dy = ry[k, 0] * Dr + sy[k, 0] * Ds
@@ -309,7 +313,14 @@ def assemble_poisson2d(ctx: DGContext2D, bordered: bool = False):
             fsJ = sJ[k, f, 0]
             mass_f = mass_edge[f] * fsJ
 
+            # hinv must be SYMMETRIC across the face (max of the two sides,
+            # reference :754) or the penalty blocks OP12/OP21 of unequal
+            # neighbors break the operator's symmetry on unstructured meshes.
             hinv = fscale[k, f, 0]
+            if face_nbr is not None:
+                nbr = face_nbr[k, f]
+                k2n, f2n = nbr // n_faces, nbr % n_faces
+                hinv = max(hinv, fscale[k2n, f2n, 0])
             gtau = 100.0**2 * 2.0 * (ctx.n_order + 1) ** 2 * hinv
 
             is_boundary = np.all(vmapP[k, f, :] == vmapM[k, f, :])

@@ -1,5 +1,6 @@
 from .halo import (
     HaloPlan,
+    halo_poisson2d_op,
     build_halo_plan,
     halo_sw2d_rhs,
     halo_sw2d_timestep,
@@ -7,13 +8,19 @@ from .halo import (
     halo_traces,
 )
 from .partition import partition_mesh, rcb_partition
-from .sharding import make_device_mesh, shard_context, sharded_sw2d_rhs
+from .sharding import (
+    context_shard_specs,
+    make_device_mesh,
+    shard_context,
+    sharded_sw2d_rhs,
+)
 
 __all__ = [
     "partition_mesh",
     "rcb_partition",
     "make_device_mesh",
     "shard_context",
+    "context_shard_specs",
     "sharded_sw2d_rhs",
     "HaloPlan",
     "build_halo_plan",
@@ -21,4 +28,5 @@ __all__ = [
     "halo_traces",
     "halo_sw2d_rhs",
     "halo_sw2d_timestep",
+    "halo_poisson2d_op",
 ]

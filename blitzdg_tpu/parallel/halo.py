@@ -256,6 +256,88 @@ def halo_sw2d_rhs(
     return SWState(h=rhs1, hu=rhs2, hv=rhs3)
 
 
+@dg_op
+def halo_poisson2d_op(
+    ctx: DGContext2D,
+    u: jnp.ndarray,
+    tau,
+    tables,
+    plan: HaloPlan,
+    axis_name: str = "element",
+    dirichlet_tags=(3, 6),  # BC_WALL, BC_DIRICHLET
+    neumann_tags=(7,),  # BC_NEUMAN
+    symmetrize: bool = False,
+) -> jnp.ndarray:
+    """2D IP Laplacian INSIDE shard_map over the element axis — the sharded
+    twin of ops.poisson.poisson2d_op, with the two trace exchanges (u, then
+    the gradient pair) riding the ppermute halo tables. Combine with
+    cg/gmres(axis_name=...) for a fully element-sharded elliptic solve
+    (reference contract: GMRESSolver.hpp:278-430 dots -> psum, SURVEY §2.9).
+
+    ``tau`` must be the GLOBAL penalty constant, computed once at setup
+    ((N+1)^2 * max Fscale over the whole mesh) so results match the
+    unsharded operator bitwise."""
+    K_loc = u.shape[0]
+    n_tr = ctx.n_faces * ctx.n_fp
+    my = jax.lax.axis_index(axis_name)
+    plan_row = tuple(a[0] for a in tables)
+    local_size = K_loc * n_tr
+
+    ux, uy = ctx.grad(u)
+
+    (uM,), (uP,) = halo_traces((u,), ctx, plan_row, plan, axis_name)
+    nxf = ctx.nx.reshape(-1)
+    nyf = ctx.ny.reshape(-1)
+
+    # Dirichlet: uP = -uM (zero trace)
+    for tag in dirichlet_tags:
+        idx, safe, _ = _localize_bc(
+            ctx.bc_maps.idx[tag], ctx.bc_maps.mask[tag], my, local_size)
+        uP = uP.at[idx].set(-uM[safe], mode="drop")
+
+    du = uM - uP
+    du_mat = du.reshape(K_loc, n_tr)
+
+    # Auxiliary gradient with central flux: q = grad u - Lift(n du / 2)
+    qx = ux - ((ctx.fscale * ctx.nx * du_mat * 0.5) @ ctx.lift.T)
+    qy = uy - ((ctx.fscale * ctx.ny * du_mat * 0.5) @ ctx.lift.T)
+
+    (uxM, uyM), (uxP, uyP) = halo_traces((ux, uy), ctx, plan_row, plan,
+                                         axis_name)
+    fm = ctx.fmask.reshape(-1)
+    qxM = qx[:, fm].reshape(-1)
+    qyM = qy[:, fm].reshape(-1)
+
+    # Neumann: mirror the gradient so the normal component cancels.
+    for tag in neumann_tags:
+        idx, safe, _ = _localize_bc(
+            ctx.bc_maps.idx[tag], ctx.bc_maps.mask[tag], my, local_size)
+        un = uxM[safe] * nxf[safe] + uyM[safe] * nyf[safe]
+        uxP = uxP.at[idx].set(uxM[safe] - 2.0 * nxf[safe] * un, mode="drop")
+        uyP = uyP.at[idx].set(uyM[safe] - 2.0 * nyf[safe] * un, mode="drop")
+
+    dqx = qxM - 0.5 * (uxM + uxP)
+    dqy = qyM - 0.5 * (uyM + uyP)
+
+    surf = (
+        ctx.nx * dqx.reshape(K_loc, n_tr)
+        + ctx.ny * dqy.reshape(K_loc, n_tr)
+        + tau * du_mat
+    )
+
+    qxr, qxs = qx @ ctx.Dr.T, qx @ ctx.Ds.T
+    qyr, qys = qy @ ctx.Dr.T, qy @ ctx.Ds.T
+    lap = (
+        ctx.rx * qxr + ctx.sx * qxs + ctx.ry * qyr + ctx.sy * qys
+        - (ctx.fscale * surf) @ ctx.lift.T
+    )
+
+    if symmetrize:
+        M = ctx.Vinv.T @ ctx.Vinv
+        lap = ctx.J * (lap @ M.T)
+    return lap
+
+
 def halo_sw2d_timestep(ctx: DGContext2D, state: SWState, g: float, cfl: float,
                        axis_name: str = "element"):
     """Adaptive dt INSIDE shard_map: the per-shard face-max wavespeed is

@@ -49,6 +49,37 @@ def make_device_mesh(
     return Mesh(arr, axis_names=("scenario", "element"))
 
 
+# Context fields that carry a leading element (K) axis and therefore shard
+# over the element mesh axis. Everything else — reference-element operators,
+# GLOBAL index lists (bc_maps, mapB/vmapB, gather/scatter ids,
+# face_nbr/face_flip), static metadata — is replicated. An explicit
+# allowlist, NOT a shape heuristic: a padded BC index list can accidentally
+# have length == K (e.g. box 4x4 at N=1: 32 wall trace nodes, 32 elements),
+# and a shape-based rule would silently scatter it across shards, dropping
+# most boundary conditions (each shard would apply only 1/n of them).
+ELEMENT_SHARDED_FIELDS = frozenset({
+    "x", "J", "rx", "nx", "fscale",                  # 1D + 2D shared
+    "y", "ry", "sx", "sy", "ny", "sJ",               # 2D volume/face geometry
+    "vmapM", "vmapP", "mapP", "bc_table",            # per-element index maps
+})
+
+
+def context_shard_specs(ctx, axis: str = "element"):
+    """PartitionSpec pytree for a DG context under shard_map: P(axis) on the
+    leading dim of every ELEMENT_SHARDED_FIELDS array, P() elsewhere. Use
+    as the context's in_spec for shard_map'd ops (halo_sw2d_rhs,
+    halo_poisson2d_op, sharded_sw2d_rhs)."""
+
+    def spec(path, a):
+        name = path[0].name if hasattr(path[0], "name") else str(path[0])
+        if (name in ELEMENT_SHARDED_FIELDS and hasattr(a, "ndim")
+                and a.ndim >= 1):
+            return P(axis, *([None] * (a.ndim - 1)))
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, ctx)
+
+
 def shard_context(ctx: DGContext2D, mesh: Mesh, axis: str = "element") -> DGContext2D:
     """Place per-element arrays with P(axis); replicate reference-element
     operators. The element axis length must divide the mesh axis size."""
@@ -58,7 +89,7 @@ def shard_context(ctx: DGContext2D, mesh: Mesh, axis: str = "element") -> DGCont
     def place(name, a):
         if not hasattr(a, "shape") or a.ndim == 0:
             return a
-        if a.shape and a.shape[0] == ctx.k_elem and name not in ("r", "s"):
+        if name in ELEMENT_SHARDED_FIELDS and a.shape:
             return jax.device_put(a, NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1)))))
         return jax.device_put(a, rep)
 

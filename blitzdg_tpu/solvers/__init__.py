@@ -1,3 +1,12 @@
+from .precon import (
+    block_diagonal_blocks,
+    block_jacobi_apply,
+    block_jacobi_from_assembled,
+    block_jacobi_from_matvec,
+    block_jacobi_precon,
+    invert_blocks,
+    probe_diagonal_blocks,
+)
 from .krylov import (
     CONV_BREAKDOWN,
     CONV_DIVERGED,
@@ -20,4 +29,11 @@ __all__ = [
     "CONV_INF_OR_NAN",
     "CONV_DIVERGED",
     "CONV_STAGNATION",
+    "block_diagonal_blocks",
+    "block_jacobi_apply",
+    "block_jacobi_from_assembled",
+    "block_jacobi_from_matvec",
+    "block_jacobi_precon",
+    "invert_blocks",
+    "probe_diagonal_blocks",
 ]

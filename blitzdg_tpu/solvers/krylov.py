@@ -8,8 +8,13 @@ taxonomy) and for the LAPACK/UMFPACK direct solvers it leans on.
 Design notes (TPU-first):
  - everything is `lax.while_loop`/`fori_loop` with static shapes; the
    Krylov basis is a dense (m+1, n) array living in HBM;
- - dot products are `jnp.vdot` — under pjit sharding XLA lowers them to
-   `psum` over the element axis automatically (SURVEY.md §2.9);
+ - dot products are collective-aware: pass ``axis_name`` when running
+   INSIDE `shard_map` over an element-sharded vector and every reduction
+   (MGS dots, norms, stagnation predicate) becomes a local partial + one
+   `lax.psum`/`psum`-of-bool over ICI — the sharded-GMRES contract of
+   SURVEY.md §2.9 (reference dots: GMRESSolver.hpp:302-306). Without
+   ``axis_name`` (plain jit over pjit-sharded arrays) XLA already lowers
+   `jnp.vdot` to the same psum;
  - solvers operate on flat vectors; callers flatten (K, Np) fields; batch
    over scenarios with `jax.vmap`;
  - convergence bookkeeping mirrors the reference ConvFlag taxonomy where it
@@ -29,7 +34,7 @@ CONV_MAXITS = 1
 CONV_BREAKDOWN = 2
 CONV_INF_OR_NAN = 3
 CONV_DIVERGED = 4  # residual grew past div_tol * ||r0|| (GMRESSolver.hpp:67)
-CONV_STAGNATION = 5  # |dx_i| <= stg_tol*|x_i| for all i (GMRESSolver.hpp:158)
+CONV_STAGNATION = 5  # |dx_i| <= stg_tol*|x_i| for all i (GMRESSolver.hpp:416-427)
 
 
 class SolveResult(NamedTuple):
@@ -37,6 +42,29 @@ class SolveResult(NamedTuple):
     iters: jnp.ndarray  # iterations (CG) or outer restarts (GMRES)
     relres: jnp.ndarray
     flag: jnp.ndarray
+
+
+def _reducers(axis_name: str | None):
+    """(dot, norm, all) reductions — global over the sharding axis when
+    running inside shard_map, plain otherwise."""
+    if axis_name is None:
+        return (
+            jnp.vdot,
+            jnp.linalg.norm,
+            jnp.all,
+        )
+
+    def dot(a, b):
+        return jax.lax.psum(jnp.vdot(a, b), axis_name)
+
+    def norm(a):
+        return jnp.sqrt(jax.lax.psum(jnp.vdot(a, a).real, axis_name))
+
+    def all_(pred):
+        # all-true iff no shard saw a violation
+        return jax.lax.psum(jnp.sum(~pred), axis_name) == 0
+
+    return dot, norm, all_
 
 
 def cg(
@@ -47,31 +75,36 @@ def cg(
     tol: float = 1e-6,
     maxiter: int = 1000,
     precon: Callable | None = None,
+    axis_name: str | None = None,
 ) -> SolveResult:
-    """Preconditioned conjugate gradients for SPD operators."""
+    """Preconditioned conjugate gradients for SPD operators.
+
+    ``axis_name``: name of the shard_map axis the vector is sharded over;
+    reductions then ride `lax.psum` (see module docstring)."""
+    dot, norm, _ = _reducers(axis_name)
     if x0 is None:
         x0 = jnp.zeros_like(b)
     if precon is None:
         precon = lambda v: v
 
-    bnorm = jnp.linalg.norm(b)
+    bnorm = norm(b)
     bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
 
     r0 = b - matvec(x0)
     z0 = precon(r0)
-    rn0 = jnp.linalg.norm(r0)
+    rn0 = norm(r0)
     # (x, r, z, p, rz, it, broke, best residual norm, best iterate)
-    state0 = (x0, r0, z0, z0, jnp.vdot(r0, z0), jnp.asarray(0),
+    state0 = (x0, r0, z0, z0, dot(r0, z0), jnp.asarray(0),
               jnp.asarray(False), rn0, x0)
 
     def cond(state):
         _, r, *_, it, broke, _, _ = state
-        return (~broke) & (jnp.linalg.norm(r) / bnorm > tol) & (it < maxiter)
+        return (~broke) & (norm(r) / bnorm > tol) & (it < maxiter)
 
     def body(state):
         x, r, z, p, rz, it, _, rmin, xbest = state
         Ap = matvec(p)
-        pAp = jnp.vdot(p, Ap)
+        pAp = dot(p, Ap)
         # Breakdown/divergence guards (reference analog: the GMRESSolver.hpp
         # ConvFlag taxonomy). On a semi-definite operator — or in low
         # precision — roundoff pushes p into the nullspace: pAp -> 0 makes
@@ -83,20 +116,20 @@ def cg(
         alpha = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
-        rn = jnp.linalg.norm(r)
+        rn = norm(r)
         improved = rn < rmin
         xbest = jnp.where(improved, x, xbest)
         rmin = jnp.minimum(rn, rmin)
         diverging = ~jnp.isfinite(rn) | (rn > 1e4 * rmin)
         z = precon(r)
-        rz_new = jnp.vdot(r, z)
+        rz_new = dot(r, z)
         beta = jnp.where(ok, rz_new / rz, 0.0)
         p = z + beta * p
         return (x, r, z, p, jnp.where(ok, rz_new, rz), it + 1,
                 ~ok | diverging, rmin, xbest)
 
     x, r, *_, it, broke, rmin, xbest = jax.lax.while_loop(cond, body, state0)
-    rn = jnp.linalg.norm(r)
+    rn = norm(r)
     use_best = ~jnp.isfinite(rn) | (rmin < rn)
     x = jnp.where(use_best, xbest, x)
     relres = jnp.where(use_best, rmin, rn) / bnorm
@@ -123,19 +156,29 @@ def gmres(
     precon: Callable | None = None,
     div_tol: float = 1e5,
     stg_tol: float = 1e-12,
+    axis_name: str | None = None,
 ) -> SolveResult:
     """Right-preconditioned restarted GMRES(m).
 
     Arnoldi with modified Gram-Schmidt; the small (m+1, m) Hessenberg least
-    squares is solved densely per cycle (tiny, stays on device). ``maxiter``
-    counts outer restart cycles (reference defaults kspaceSz=30, maxits=100,
-    relTol=1e-6, divTol=1e5, stgTol=1e-12 — GMRESSolver.hpp:94-108).
+    squares is solved densely per cycle (tiny, replicated, stays on device).
+    ``maxiter`` counts outer restart cycles (reference defaults kspaceSz=30,
+    maxits=100, relTol=1e-6, divTol=1e5, stgTol=1e-12 —
+    GMRESSolver.hpp:94-108). One matvec per cycle maintains the true
+    residual (it seeds the next cycle's Krylov space — same matvec count as
+    the reference's restart path, GMRESSolver.hpp:392-398).
+
     Termination taxonomy mirrors the reference ConvFlag enum
-    (GMRESSolver.hpp:64-75): success / maxits / inf_or_nan, plus
-    diverged (``||r|| >= div_tol*||r0||``, GMRESSolver.hpp:364) and
-    stagnation (per-cycle solution update below ``stg_tol`` elementwise,
-    GMRESSolver.hpp:416-427).
+    (GMRESSolver.hpp:64-75): success / maxits / inf_or_nan, plus diverged
+    (``||r|| >= div_tol*||r0||``, :364) and stagnation with the reference's
+    exact per-cycle predicate (:416-427): stagnant unless some component has
+    ``x_j != 0`` and ``|dx_j| > stg_tol*|x_j|`` (components at exactly zero
+    never veto stagnation).
+
+    ``axis_name``: shard_map axis for element-sharded vectors — every MGS
+    dot product and norm becomes a psum (SURVEY.md §2.9).
     """
+    dot, norm, all_ = _reducers(axis_name)
     if x0 is None:
         x0 = jnp.zeros_like(b)
     if precon is None:
@@ -145,12 +188,11 @@ def gmres(
     m = restart
     dtype = b.dtype
 
-    bnorm = jnp.linalg.norm(b)
+    bnorm = norm(b)
     bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
 
-    def arnoldi_cycle(x):
-        r = b - matvec(x)
-        beta = jnp.linalg.norm(r)
+    def arnoldi_cycle(x, r):
+        beta = norm(r)
 
         V = jnp.zeros((m + 1, n), dtype=dtype)
         H = jnp.zeros((m + 1, m), dtype=dtype)
@@ -162,46 +204,49 @@ def gmres(
             # modified Gram-Schmidt against all basis vectors (masked > j)
             def mgs(i, wh):
                 w, H = wh
-                hij = jnp.where(i <= j, jnp.vdot(V[i], w), 0.0)
+                hij = jnp.where(i <= j, dot(V[i], w), 0.0)
                 w = w - hij * V[i]
                 H = H.at[i, j].set(hij)
                 return (w, H)
 
             w, H = jax.lax.fori_loop(0, m + 1, mgs, (w, H))
-            hnext = jnp.linalg.norm(w)
+            hnext = norm(w)
             H = H.at[j + 1, j].set(hnext)
             V = V.at[j + 1].set(w / jnp.where(hnext > 1e-30, hnext, 1.0))
             return (V, H)
 
         V, H = jax.lax.fori_loop(0, m, arnoldi_step, (V, H))
 
-        # least squares: min || beta e1 - H y ||
+        # least squares: min || beta e1 - H y || (H is replicated across
+        # shards — built from psum'd dots — so the small solve is, too)
         e1 = jnp.zeros((m + 1,), dtype=dtype).at[0].set(beta)
         y = jnp.linalg.lstsq(H, e1)[0]
         dx = precon(V[:m].T @ y)
         x_new = x + dx
-        res = jnp.linalg.norm(b - matvec(x_new))
-        # stagnation: every component moved by <= stg_tol relative to the
-        # iterate (GMRESSolver.hpp:416-420, inverted sense).
-        stag = jnp.all(jnp.abs(dx) <= stg_tol * jnp.abs(x_new))
-        return x_new, res, stag
+        r_new = b - matvec(x_new)  # also seeds the next cycle
+        res = norm(r_new)
+        # stagnation (GMRESSolver.hpp:416-427): stagnant unless some
+        # component with x_j != 0 moved by more than stg_tol relative
+        stag = all_((x_new == 0) | (jnp.abs(dx) <= stg_tol * jnp.abs(x_new)))
+        return x_new, r_new, res, stag
 
-    res0 = jnp.linalg.norm(b - matvec(x0))
+    r0 = b - matvec(x0)
+    res0 = norm(r0)
     false_ = jnp.asarray(False)
-    state0 = (x0, res0, jnp.asarray(0), false_, false_)
+    state0 = (x0, r0, res0, jnp.asarray(0), false_, false_)
 
     def cond(state):
-        _, res, it, stag, div = state
+        _, _, res, it, stag, div = state
         return ((res / bnorm > tol) & (it < maxiter) & jnp.isfinite(res)
                 & ~stag & ~div)
 
     def body(state):
-        x, _, it, _, _ = state
-        x, res, stag = arnoldi_cycle(x)
+        x, r, _, it, _, _ = state
+        x, r, res, stag = arnoldi_cycle(x, r)
         div = res >= div_tol * res0
-        return (x, res, it + 1, stag, div)
+        return (x, r, res, it + 1, stag, div)
 
-    x, res, it, stag, div = jax.lax.while_loop(cond, body, state0)
+    x, _, res, it, stag, div = jax.lax.while_loop(cond, body, state0)
     relres = res / bnorm
     flag = jnp.where(
         relres <= tol,

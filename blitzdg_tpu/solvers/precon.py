@@ -1,0 +1,122 @@
+"""Batched block-Jacobi preconditioning for element-blocked DG operators.
+
+The reference solves its elliptic systems either unpreconditioned
+(poisson2d/main.cpp:92-98 passes an identity functor) or by full UMFPACK
+factorization (LUSolver.cpp:34-60). The TPU-native middle ground: invert the
+per-element (Np, Np) diagonal blocks of the operator once at setup — a
+batched host inverse — and apply them on device as ONE batched matmul
+`einsum('kij,kj->ki')`, which the MXU eats whole. For SIP/IP DG operators the
+element-diagonal block carries the volume stiffness plus the face-penalty
+self-coupling, so it captures the stiffness growth ~ tau ~ (N+1)^2/h that
+makes the unpreconditioned systems slow.
+
+The apply is purely element-local, so it shards trivially: under shard_map
+pass each shard its own block rows (P('element', None, None)) and call
+``block_jacobi_apply`` on the local vector.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+
+def block_diagonal_blocks(op, k_elem: int, n_p: int) -> np.ndarray:
+    """Extract the (K, Np, Np) element-diagonal blocks of an assembled
+    operator (any scipy.sparse matrix / dense array over flat (K*Np,) dofs
+    in element-major order, e.g. assemble_poisson2d's OP)."""
+    A = sp.csr_matrix(op) if not isinstance(op, np.ndarray) else None
+    blocks = np.zeros((k_elem, n_p, n_p))
+    for k in range(k_elem):
+        sl = slice(k * n_p, (k + 1) * n_p)
+        blocks[k] = (A[sl, sl].toarray() if A is not None else op[sl, sl])
+    return blocks
+
+
+def invert_blocks(blocks: np.ndarray, dtype=None) -> jnp.ndarray:
+    """Host batched inverse of (K, Np, Np) blocks -> device array."""
+    return jnp.asarray(np.linalg.inv(np.asarray(blocks)), dtype=dtype)
+
+
+def block_jacobi_apply(inv_blocks: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """inv_blocks (K, Np, Np) @ v (flat element-major) — one batched matmul.
+    K here is whatever the caller owns (global, or a shard's local rows)."""
+    n_p = inv_blocks.shape[-1]
+    kv = v.reshape(-1, n_p)
+    return jnp.einsum("kij,kj->ki", inv_blocks, kv).reshape(v.shape)
+
+
+def block_jacobi_precon(
+    blocks: np.ndarray, dtype=None
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Host-invert the (K, Np, Np) diagonal blocks; return a device
+    preconditioner closure v -> blocks^{-1} v (single logical device /
+    pjit auto-sharding; for shard_map use block_jacobi_apply with the
+    shard-local block rows)."""
+    inv = invert_blocks(blocks, dtype)
+    return lambda v: block_jacobi_apply(inv, v)
+
+
+def block_jacobi_from_assembled(
+    op, k_elem: int, n_p: int, dtype=None
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Convenience: assembled operator -> block-Jacobi preconditioner."""
+    return block_jacobi_precon(block_diagonal_blocks(op, k_elem, n_p), dtype)
+
+
+def greedy_color(adjacency: np.ndarray) -> np.ndarray:
+    """Greedy graph coloring of elements given (K, Nfaces) neighbor ids
+    (self-ids on boundary faces). Triangle meshes need ~4-5 colors."""
+    K = adjacency.shape[0]
+    colors = np.full(K, -1, dtype=np.int64)
+    for k in range(K):
+        used = {colors[n] for n in adjacency[k] if n != k and colors[n] >= 0}
+        c = 0
+        while c in used:
+            c += 1
+        colors[k] = c
+    return colors
+
+
+def element_adjacency(ctx) -> np.ndarray:
+    """(K, Nfaces) neighbor element ids derived from the context's
+    face-granular '+'-trace structure (self on boundary faces)."""
+    face_nbr = np.asarray(ctx.face_nbr).reshape(ctx.k_elem, ctx.n_faces)
+    return face_nbr // ctx.n_faces
+
+
+def probe_diagonal_blocks(matvec2d: Callable, ctx) -> np.ndarray:
+    """Extract the exact (K, Np, Np) element-diagonal blocks of ANY
+    matrix-free DG operator (K, Np)->(K, Np) whose stencil couples only
+    face-adjacent elements, by colored probing: elements are graph-colored
+    so no two neighbors share a color, then Np unit-nodal probes per color
+    read off uncontaminated block columns. ncolors*Np operator applications
+    total (~20-30), batched through one vmap."""
+    import jax
+
+    K, n_p = ctx.k_elem, ctx.n_p
+    colors = greedy_color(element_adjacency(ctx))
+    ncolors = int(colors.max()) + 1
+
+    probes = np.zeros((ncolors * n_p, K, n_p))
+    for c in range(ncolors):
+        sel = colors == c
+        for i in range(n_p):
+            probes[c * n_p + i, sel, i] = 1.0
+
+    outs = np.asarray(jax.vmap(matvec2d)(jnp.asarray(probes)))
+    blocks = np.zeros((K, n_p, n_p))
+    for c in range(ncolors):
+        sel = colors == c
+        for i in range(n_p):
+            blocks[sel, :, i] = outs[c * n_p + i, sel, :]
+    return blocks
+
+
+def block_jacobi_from_matvec(
+    matvec2d: Callable, ctx, dtype=None
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Matrix-free operator -> block-Jacobi preconditioner (no assembly)."""
+    return block_jacobi_precon(probe_diagonal_blocks(matvec2d, ctx), dtype)

@@ -140,8 +140,9 @@ def test_compat_csv_readers():
 
 def test_read_depth_data(tmp_path):
     """readDepthData analog (reference src/sw2d/main.cpp:486-515): one value
-    per row, element-major fill (node fastest), clip-up at 150 m, zero-fill
-    for missing trailing values."""
+    per row, element-major fill (node fastest), clip-up at 150 m applied to
+    ALL entries — missing trailing values become 150, not 0 (reference
+    main.cpp:498-510 clips the whole zero-initialised buffer)."""
     from blitzdg_tpu.io.csv import read_depth_data
 
     vals = [200.0, 100.0, 175.5, 149.9, 300.0]
@@ -151,4 +152,4 @@ def test_read_depth_data(tmp_path):
     assert H.shape == (2, 3)
     # shallow values clipped up to 150; order is (k, n) with n fastest
     np.testing.assert_allclose(H[0], [200.0, 150.0, 175.5])
-    np.testing.assert_allclose(H[1], [150.0, 300.0, 0.0])  # trailing zero
+    np.testing.assert_allclose(H[1], [150.0, 300.0, 150.0])  # trailing clip

@@ -74,16 +74,7 @@ def test_shard_map_halo_exchange_matches_single(problem):
     mesh = make_device_mesh(1, NDEV)
     el2 = P("element", None)
 
-    # context specs: per-element arrays sharded on K; operators replicated
-    def spec_for(name, a):
-        if hasattr(a, "shape") and a.ndim >= 1 and a.shape[0] == ctx.k_elem and name not in ("r", "s", "gather_ids", "scatter_ids", "mapB", "maskB", "vmapB"):
-            return P("element", *([None] * (a.ndim - 1)))
-        return P()
-
-    ctx_specs = jax.tree_util.tree_map_with_path(
-        lambda path, a: spec_for(path[0].name if hasattr(path[0], "name") else "", a),
-        ctx,
-    )
+    ctx_specs = _context_specs(ctx)
 
     state_specs = jax.tree.map(lambda a: el2, state)
 
@@ -100,18 +91,9 @@ def test_shard_map_halo_exchange_matches_single(problem):
 
 
 def _context_specs(ctx):
-    def spec_for(name, a):
-        if hasattr(a, "shape") and a.ndim >= 1 and a.shape[0] == ctx.k_elem \
-                and name not in ("r", "s", "gather_ids", "scatter_ids",
-                                 "mapB", "maskB", "vmapB"):
-            return P("element", *([None] * (a.ndim - 1)))
-        return P()
+    from blitzdg_tpu.parallel import context_shard_specs
 
-    return jax.tree_util.tree_map_with_path(
-        lambda path, a: spec_for(
-            path[0].name if hasattr(path[0], "name") else "", a),
-        ctx,
-    )
+    return context_shard_specs(ctx)
 
 
 def test_halo_coastal_rollout_matches_single():
@@ -225,18 +207,7 @@ def test_ppermute_halo_exchange_matches_single(problem):
     mesh = make_device_mesh(1, NDEV)
     el2 = P("element", None)
 
-    def spec_for(name, a):
-        if hasattr(a, "shape") and a.ndim >= 1 and a.shape[0] == ctx.k_elem \
-                and name not in ("r", "s", "gather_ids", "scatter_ids",
-                                 "mapB", "maskB", "vmapB"):
-            return P("element", *([None] * (a.ndim - 1)))
-        return P()
-
-    ctx_specs = jax.tree_util.tree_map_with_path(
-        lambda path, a: spec_for(
-            path[0].name if hasattr(path[0], "name") else "", a),
-        ctx,
-    )
+    ctx_specs = _context_specs(ctx)
     state_specs = jax.tree.map(lambda a: el2, state)
     table_specs = tuple(
         P("element", *([None] * (a.ndim - 1))) for a in tables)
@@ -251,3 +222,68 @@ def test_ppermute_halo_exchange_matches_single(problem):
     np.testing.assert_allclose(np.asarray(out.h), np.asarray(ref.h), atol=1e-11)
     np.testing.assert_allclose(np.asarray(out.hu), np.asarray(ref.hu), atol=1e-11)
     np.testing.assert_allclose(np.asarray(out.hv), np.asarray(ref.hv), atol=1e-11)
+
+
+def test_bc_maps_replicated_when_count_equals_k():
+    """Regression: on box(4,4) at N=1 there are exactly 32 wall trace nodes
+    AND 32 elements — a shape-based sharding heuristic (leading dim == K)
+    would scatter the replicated-global BC index list across shards and
+    silently drop 7/8 of the boundary conditions. context_shard_specs must
+    replicate bc_maps, and both sharded ops must stay exact on this mesh
+    with data that actually exercises the BCs (nonzero momentum at walls /
+    Dirichlet u)."""
+    from blitzdg_tpu.ops.poisson import poisson2d_op
+    from blitzdg_tpu.parallel import (
+        build_halo_plan,
+        context_shard_specs,
+        halo_poisson2d_op,
+        halo_sw2d_rhs,
+        halo_tables,
+    )
+
+    ctx = build_triangle_context(1, box_triangles(4, 4))
+    assert int(np.asarray(ctx.bc_maps.mask[3]).sum()) == ctx.k_elem  # trigger
+
+    specs = context_shard_specs(ctx)
+    # the BC maps must be replicated
+    assert all(s == P() for s in jax.tree.leaves(
+        jax.tree.map(lambda s: s, specs.bc_maps)))
+
+    plan = build_halo_plan(ctx, NDEV)
+    tables = halo_tables(plan)
+    mesh = make_device_mesh(1, NDEV)
+    el_mesh = Mesh(np.asarray(mesh.devices).reshape(-1), ("element",))
+    table_specs = tuple(
+        P("element", *([None] * (a.ndim - 1))) for a in tables)
+
+    # --- IP Laplacian (Dirichlet walls touched by any nonzero u) ---
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.normal(size=(ctx.k_elem, ctx.n_p)))
+    tau = float((ctx.n_order + 1) ** 2 * jnp.max(ctx.fscale))
+    ref = poisson2d_op(ctx, u, tau=tau, symmetrize=True)
+    fn = jax.shard_map(
+        lambda c, uu, tb: halo_poisson2d_op(c, uu, tau, tb, plan,
+                                            symmetrize=True),
+        mesh=el_mesh,
+        in_specs=(specs, P("element", None), table_specs),
+        out_specs=P("element", None),
+    )
+    out = jax.jit(fn)(ctx, u, tables)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-11)
+
+    # --- sw2d RHS with NONZERO momentum (wall reflection is a no-op on a
+    # fluid at rest, which would mask dropped wall BCs) ---
+    h = 10.0 + jnp.exp(-10.0 * (ctx.x**2 + ctx.y**2))
+    state = SWState(h=h, hu=0.3 * h, hv=-0.2 * h)
+    phys = SWPhysics(g=9.81)
+    ref2 = sw2d_rhs(ctx, state, 0.0, phys)
+    st_specs = jax.tree.map(lambda a: P("element", None), state)
+    fn2 = jax.shard_map(
+        lambda c, s, tb: halo_sw2d_rhs(c, s, 0.0, phys, tb, plan),
+        mesh=el_mesh,
+        in_specs=(specs, st_specs, table_specs),
+        out_specs=st_specs,
+    )
+    out2 = jax.jit(fn2)(ctx, state, tables)
+    for a, b in zip(out2, ref2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11)

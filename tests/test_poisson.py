@@ -180,6 +180,246 @@ class TestPoisson2D:
         assert np.all(w > -1e-6)
 
 
+class TestShardedElliptic:
+    """Element-sharded Krylov solves (SURVEY §2.9: GMRES dot products ->
+    psum; reference loop GMRESSolver.hpp:278-430). The WHOLE solve runs
+    inside shard_map on an 8-device mesh: matvec = ppermute-halo IP operator,
+    every reduction a psum — and must match the single-device solve."""
+
+    NDEV = 8
+
+    @pytest.fixture(scope="class")
+    def sharded_problem(self):
+        from blitzdg_tpu.parallel import (
+            build_halo_plan,
+            halo_tables,
+            make_device_mesh,
+            partition_mesh,
+        )
+
+        mesh0 = box_triangles(4, 8)  # K = 64
+        mesh2d, _, _ = partition_mesh(mesh0, self.NDEV)
+        ctx = build_triangle_context(2, mesh2d)
+        plan = build_halo_plan(ctx, self.NDEV)
+        tables = halo_tables(plan)
+        devmesh = make_device_mesh(1, self.NDEV)
+        tau = float((ctx.n_order + 1) ** 2 * jnp.max(ctx.fscale))
+        uex = jnp.sin(np.pi * ctx.x) * jnp.sin(np.pi * ctx.y)
+        f = -2.0 * np.pi**2 * uex
+        return ctx, plan, tables, devmesh, tau, uex, f
+
+    def _ctx_specs(self, ctx):
+        from blitzdg_tpu.parallel import context_shard_specs
+
+        return context_shard_specs(ctx)
+
+    def test_sharded_cg_matches_single(self, sharded_problem):
+        from jax.sharding import PartitionSpec as P
+        from blitzdg_tpu.parallel import halo_poisson2d_op
+
+        ctx, plan, tables, devmesh, tau, uex, f = sharded_problem
+        b = -apply_mass(ctx, f)
+
+        # single-device truth
+        def matvec(v):
+            return -poisson2d_op(ctx, v.reshape(ctx.k_elem, ctx.n_p),
+                                 tau=tau, symmetrize=True).reshape(-1)
+
+        ref = cg(matvec, b.reshape(-1), tol=1e-10, maxiter=4000)
+        assert int(ref.flag) == CONV_SUCCESS
+
+        # fully sharded solve: matvec + psum dots inside shard_map
+        def sharded_solve(c, bb, tb):
+            def mv(v):
+                u2 = v.reshape(-1, c.n_p)
+                out = -halo_poisson2d_op(c, u2, tau, tb, plan,
+                                         symmetrize=True)
+                return out.reshape(-1)
+
+            res = cg(mv, bb.reshape(-1), tol=1e-10, maxiter=4000,
+                     axis_name="element")
+            return res.x.reshape(-1, ctx.n_p), res.iters, res.relres, res.flag
+
+        fn = jax.shard_map(
+            sharded_solve,
+            mesh=devmesh,
+            in_specs=(self._ctx_specs(ctx), P("element", None),
+                      tuple(P("element", *([None] * (a.ndim - 1)))
+                            for a in tables)),
+            out_specs=(P("element", None), P(), P(), P()),
+        )
+        x, iters, relres, flag = jax.jit(fn)(ctx, b, tables)
+        assert int(flag) == CONV_SUCCESS
+        np.testing.assert_allclose(np.asarray(x).reshape(-1),
+                                   np.asarray(ref.x), atol=1e-9)
+        # identical arithmetic -> identical iteration count
+        assert int(iters) == int(ref.iters)
+        err = np.max(np.abs(np.asarray(x) - np.asarray(uex)))
+        assert err < 5e-2, err  # discretization error at N=2 on K=64
+
+    def test_sharded_gmres_matches_single(self, sharded_problem):
+        from jax.sharding import PartitionSpec as P
+        from blitzdg_tpu.parallel import halo_poisson2d_op
+
+        ctx, plan, tables, devmesh, tau, uex, f = sharded_problem
+
+        def matvec(v):
+            return poisson2d_op(ctx, v.reshape(ctx.k_elem, ctx.n_p),
+                                tau=tau).reshape(-1)
+
+        ref = gmres(matvec, f.reshape(-1), tol=1e-8, restart=60, maxiter=40)
+        assert int(ref.flag) == CONV_SUCCESS
+
+        def sharded_solve(c, bb, tb):
+            def mv(v):
+                u2 = v.reshape(-1, c.n_p)
+                return halo_poisson2d_op(c, u2, tau, tb, plan).reshape(-1)
+
+            res = gmres(mv, bb.reshape(-1), tol=1e-8, restart=60, maxiter=40,
+                        axis_name="element")
+            return res.x.reshape(-1, ctx.n_p), res.iters, res.flag
+
+        fn = jax.shard_map(
+            sharded_solve,
+            mesh=devmesh,
+            in_specs=(self._ctx_specs(ctx), P("element", None),
+                      tuple(P("element", *([None] * (a.ndim - 1)))
+                            for a in tables)),
+            out_specs=(P("element", None), P(), P()),
+        )
+        x, iters, flag = jax.jit(fn)(ctx, f, tables)
+        assert int(flag) == CONV_SUCCESS
+        assert int(iters) == int(ref.iters)
+        np.testing.assert_allclose(np.asarray(x).reshape(-1),
+                                   np.asarray(ref.x), atol=1e-7)
+
+
+class TestBlockJacobi:
+    """Batched block-Jacobi preconditioning (VERDICT r1 item 7): colored
+    probing extracts exact diagonal blocks; preconditioned solves on the
+    reference poisson2d config (box.msh K=1046, N=2, kspace=300/maxits=1500
+    budget — main.cpp:43,93-98) beat the unpreconditioned iteration count
+    and match the splu oracle."""
+
+    def test_probed_blocks_match_assembled(self):
+        """Colored probing of the assembled operator (applied matrix-free)
+        must reproduce its exact diagonal blocks — validates the coloring
+        against ground truth."""
+        from blitzdg_tpu.solvers import (
+            block_diagonal_blocks,
+            probe_diagonal_blocks,
+        )
+
+        mesh = box_triangles(3, 3)
+        ctx = build_triangle_context(2, mesh)
+        OP, _ = assemble_poisson2d(ctx)
+        Aj = jnp.asarray(OP.toarray())
+
+        def mv2d(u):
+            return (Aj @ u.reshape(-1)).reshape(u.shape)
+
+        probed = probe_diagonal_blocks(mv2d, ctx)
+        exact = block_diagonal_blocks(OP, ctx.k_elem, ctx.n_p)
+        np.testing.assert_allclose(probed, exact, atol=1e-12)
+
+    @pytest.fixture(scope="class")
+    def box1046(self):
+        import os
+
+        path = "/root/reference/input/box.msh"
+        if not os.path.exists(path):
+            pytest.skip("reference box.msh unavailable")
+        from blitzdg_tpu.mesh.gmsh import read_gmsh
+
+        mesh = read_gmsh(path)
+        ctx = build_triangle_context(2, mesh)
+        assert ctx.k_elem == 1046
+        uex = jnp.sin(np.pi * ctx.x) * jnp.sin(np.pi * ctx.y)
+        f = -2.0 * np.pi**2 * uex
+        return ctx, uex, f
+
+    def test_gmres_box1046_reference_budget(self, box1046):
+        """The reference poisson2d GMRES config (kspace=300, relTol=1e-4,
+        maxits=1500 — main.cpp:93-98) on the matrix-free IP operator, but
+        COLD-started (the reference warm-starts from the exact solution):
+        must converge well inside the budget."""
+        ctx, uex, f = box1046
+
+        def matvec(v):
+            return poisson2d_op(ctx, v.reshape(ctx.k_elem, ctx.n_p)).reshape(-1)
+
+        res = gmres(matvec, f.reshape(-1), tol=1e-4, restart=300, maxiter=5)
+        assert int(res.flag) == CONV_SUCCESS
+        assert int(res.iters) <= 2  # well inside kspace=300/maxits=1500
+        u = np.asarray(res.x).reshape(ctx.k_elem, ctx.n_p)
+        err = np.max(np.abs(u - np.asarray(uex)))
+        assert err < 5e-2, err  # N=2 discretization + 1e-4 solve tol
+
+    def test_preconditioned_cg_box1046_matrixfree(self, box1046):
+        """Block-Jacobi on the symmetrized matrix-free operator (where the
+        per-element J*M weighting + penalty self-coupling dominate) must
+        strictly reduce CG iterations. (On the UNsymmetrized strong-form
+        operator the spectrum is already benign and block-Jacobi does not
+        pay — measured, not assumed.)"""
+        from blitzdg_tpu.solvers import block_jacobi_from_matvec
+
+        ctx, uex, f = box1046
+        b = -apply_mass(ctx, f).reshape(-1)
+
+        def matvec(v):
+            return -poisson2d_op(ctx, v.reshape(ctx.k_elem, ctx.n_p),
+                                 symmetrize=True).reshape(-1)
+
+        def mv2d(u):
+            return -poisson2d_op(ctx, u, symmetrize=True)
+
+        precon = block_jacobi_from_matvec(mv2d, ctx)
+        res_p = cg(matvec, b, tol=1e-10, maxiter=6000, precon=precon)
+        res_u = cg(matvec, b, tol=1e-10, maxiter=6000)
+        assert int(res_p.flag) == CONV_SUCCESS
+        assert int(res_u.flag) == CONV_SUCCESS
+        assert int(res_p.iters) < int(res_u.iters)
+        u = np.asarray(res_p.x).reshape(ctx.k_elem, ctx.n_p)
+        err = np.max(np.abs(u - np.asarray(uex)))
+        assert err < 5e-2, err
+
+    def test_preconditioned_cg_box1046_vs_splu_oracle(self, box1046):
+        """Same assembled SIP system solved three ways — block-Jacobi CG on
+        the device BCOO operator, unpreconditioned CG, and the splu oracle
+        (reference poisson2d.py:52-64 path). The assembled penalty
+        gtau=100^2*2(N+1)^2*hinv (Poisson2DSparseMatrix.cpp:765) puts
+        cond(OP) ~ 1e9, so tol is 5e-7 (near the f64 CG roundoff floor):
+        block-Jacobi gets there inside the budget and matches splu to 1e-6
+        relative; unpreconditioned CG is still ~3 orders of magnitude away
+        at the same budget."""
+        import scipy.sparse.linalg as spla
+        from jax.experimental import sparse as jsparse
+
+        from blitzdg_tpu.solvers import block_jacobi_from_assembled
+
+        ctx, uex, f = box1046
+        OP, MM = assemble_poisson2d(ctx)
+        f_pos = np.asarray(-f).reshape(-1)  # OP u = MM (2 pi^2 sin sin)
+        b = jnp.asarray(MM @ f_pos)
+
+        A = jsparse.BCOO.from_scipy_sparse(OP.tocoo())
+        matvec = lambda v: A @ v
+        precon = block_jacobi_from_assembled(OP, ctx.k_elem, ctx.n_p)
+
+        res_p = cg(matvec, b, tol=5e-7, maxiter=4000, precon=precon)
+        res_u = cg(matvec, b, tol=5e-7, maxiter=4000)
+        assert int(res_p.flag) == CONV_SUCCESS
+        assert float(res_u.relres) > 100 * float(res_p.relres)
+        assert int(res_p.iters) < int(res_u.iters)
+
+        u_oracle = spla.splu(OP.tocsc()).solve(MM @ f_pos)
+        denom = np.max(np.abs(u_oracle))
+        assert np.max(np.abs(np.asarray(res_p.x) - u_oracle)) < 1e-6 * denom
+        # and the DG solution approximates the manufactured solution
+        err = np.max(np.abs(u_oracle - np.asarray(uex).reshape(-1)))
+        assert err < 5e-3, err
+
+
 class TestGMRESFlags:
     """Extended ConvFlag taxonomy (reference GMRESSolver.hpp:64-75)."""
 
