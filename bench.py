@@ -163,6 +163,45 @@ def main():
     cpu_solve_time = ITERS * 3.0 * fwd
     cpu_solves_per_s = 1.0 / cpu_solve_time
 
+    # ---- north-star sub-metric: DG rollouts/s at scale (K=2048, N=3) ----
+    # One "DG rollout" = HORIZON*STEPS_PER_CONTROL SSP-RK2 steps of the
+    # shallow-water system on a 2048-triangle mesh at order 3, via the
+    # element-blocked fused Pallas kernel (ops/sw2d_blocked.py). Baseline:
+    # the same numpy single-thread rollout model at the same shape.
+    from blitzdg_tpu.ops.sw2d_blocked import (
+        build_blocked_step_ops,
+        pack_state,
+        sw2d_rollout_blocked,
+    )
+
+    N2, B2 = 3, 8
+    n_steps = HORIZON * STEPS_PER_CONTROL
+    mesh2 = box_triangles(32, 32)
+    ctx2 = build_triangle_context(N2, mesh2, filter_cutoff=0.9 * N2,
+                                  filter_order=4, dtype=jnp.float32)
+    ops2, meta2 = build_blocked_step_ops(ctx2, phys, dtype=jnp.float32)
+    h2 = 10.0 + jnp.exp(-10.0 * (ctx2.x**2 + ctx2.y**2))
+    packed = [
+        pack_state(meta2, jnp.broadcast_to(f, (B2,) + f.shape))
+        for f in (h2, jnp.zeros_like(h2), jnp.zeros_like(h2))
+    ]
+
+    def roll():
+        return sw2d_rollout_blocked(ops2, meta2, *packed, None, DT,
+                                    n_steps=n_steps)
+
+    jax.block_until_ready(roll())  # compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out2 = roll()
+    jax.block_until_ready(out2)
+    tpu_rollouts_per_s = B2 * reps / (time.perf_counter() - t0)
+
+    ctx2_host = build_triangle_context(N2, mesh2, filter_cutoff=0.9 * N2,
+                                       filter_order=4, dtype=None)
+    cpu_rollout_time = numpy_forward_rollout_time(ctx2_host, reps=3)
+    rollouts_vs_baseline = tpu_rollouts_per_s * cpu_rollout_time
+
     print(
         json.dumps(
             {
@@ -170,6 +209,12 @@ def main():
                 "value": round(tpu_solves_per_s, 2),
                 "unit": "solves/s",
                 "vs_baseline": round(tpu_solves_per_s / cpu_solves_per_s, 2),
+                "extra": {
+                    "dg_rollouts_per_s_K2048_N3": round(tpu_rollouts_per_s, 2),
+                    "dg_rollouts_vs_baseline": round(rollouts_vs_baseline, 2),
+                    "dg_step_us_K2048_N3": round(
+                        1e6 / (tpu_rollouts_per_s * n_steps), 2),
+                },
             }
         )
     )

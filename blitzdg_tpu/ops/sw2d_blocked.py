@@ -1,0 +1,519 @@
+"""Element-blocked fused Pallas kernels: the LARGE-mesh shallow-water path.
+
+The dense-operator kernel (sw2d_pallas.py) materializes (K*Np, K*Np)
+block-diagonal operators — perfect for the K<=200 MPC regime, O((K*Np)^2)
+memory beyond it. This module is the scalable twin: operators stay at their
+natural (Np, Np) size and states live TRANSPOSED as (Np_pad, K_pad) tiles —
+node-within-element on sublanes, elements on lanes — so
+
+ - every volume operation is one (Np, Np) @ (Np, K) MXU matmul with the
+   full 128-lane width busy (K >> 128),
+ - flux algebra is (Np_pad, K_pad) VPU work,
+ - the per-face Lax-Friedrichs max is a max over n_fp STATIC sublane rows,
+ - the '+' trace exchange is a set of static lane ROLLS: at setup the
+   face-neighbor table (context.face_trace_structure) is decomposed into the
+   distinct (local face, lane offset, neighbor face, flip) combinations that
+   actually occur; each combo is one `pltpu.roll` of an (n_fp, K_pad) row
+   block plus a masked accumulate. On structured meshes there are O(10)
+   combos; on unstructured meshes reorder elements with
+   `parallel.partition.rcm_order` first (reverse Cuthill-McKee bounds the
+   lane bandwidth to ~sqrt(K), a few hundred combos).
+
+The whole SSP-RK2 step (2 RHS + filter + axpy) — and the whole ROLLOUT —
+runs in VMEM; HBM sees the state once per rollout (plus the optional stored
+trajectory for the MPC adjoint).
+
+Physics scope matches ops.sw2d.sw2d_rhs for wall-only BCs on a flat bottom
+(reference sw2d-simple, src/sw2d-simple/main.cpp:181-356), plus linear
+control forcing; verified bitwise against the XLA path in f64 interpret
+mode (tests/test_blocked.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..context import BC_WALL, DGContext2D
+from .sw2d import SWPhysics
+
+LANE = 128
+SUB = 8  # f32 sublane tile
+
+
+def _pad(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+class BlockedOps(NamedTuple):
+    """Setup-time operator/geometry set, transposed (rows, lanes=elements)."""
+
+    Dr: jnp.ndarray  # (NP, NP)
+    Ds: jnp.ndarray  # (NP, NP)
+    FILT: jnp.ndarray  # (NP, NP)
+    LIFT: jnp.ndarray  # (NP, NT)
+    EM: jnp.ndarray  # (NT, NP) one-hot '-'-trace extraction (fmask rows)
+    rx: jnp.ndarray  # (NP, Kp) volume metric (zero on pad rows/lanes)
+    sx: jnp.ndarray
+    ry: jnp.ndarray
+    sy: jnp.ndarray
+    nx: jnp.ndarray  # (NT, Kp) face-node geometry
+    ny: jnp.ndarray
+    fscale: jnp.ndarray
+    wall: jnp.ndarray  # (NT, Kp) wall-BC mask (1.0 at wall trace nodes)
+    vmask: jnp.ndarray  # (NP, Kp) 1.0 at valid volume nodes
+    tmask: jnp.ndarray  # (NT, Kp) 1.0 at valid trace nodes
+    cmask: jnp.ndarray  # (C_pad, Kp) per-combo target-lane masks
+    BU: jnp.ndarray  # (n_ctrl, NP, Kp) control forcing injectors
+    BV: jnp.ndarray
+
+
+class BlockedMeta(NamedTuple):
+    n_p: int
+    n_fp: int
+    n_faces: int
+    k_elem: int
+    NP: int  # padded Np (sublane multiple)
+    NT: int  # padded n_faces*n_fp
+    Kp: int  # padded K (lane multiple)
+    n_ctrl: int
+    g: float
+    # static combo table: ((target_face, lane_shift, src_face, flip), ...)
+    combos: tuple
+
+
+def build_blocked_step_ops(
+    ctx: DGContext2D,
+    phys: SWPhysics,
+    forcing_bu: np.ndarray | None = None,  # (n_ctrl, K, Np) hu injector
+    forcing_bv: np.ndarray | None = None,
+    dtype=jnp.float32,
+    max_combos: int = 2048,
+) -> tuple[BlockedOps, BlockedMeta]:
+    """Freeze the blocked operator set (host-side, once at setup).
+
+    Raises if the mesh's trace exchange needs more than ``max_combos``
+    distinct roll patterns — reorder with `rcm_order` first.
+    """
+    if phys.Hx is not None or phys.cd != 0.0 or phys.f_cor != 0.0:
+        raise NotImplementedError(
+            "blocked step kernel covers flat-bottom, drag-free, "
+            "Coriolis-free physics (the DG-rollout bench regime)"
+        )
+    K, n_p = ctx.k_elem, ctx.n_p
+    n_fp, n_faces = ctx.n_fp, ctx.n_faces
+    n_tr = n_faces * n_fp
+    NP, NT, Kp = _pad(n_p, SUB), _pad(n_tr, SUB), _pad(K, LANE)
+
+    if ctx.face_nbr is None:
+        raise ValueError("context lacks face-granular trace structure")
+    face_nbr = np.asarray(ctx.face_nbr).reshape(K, n_faces)
+    face_flip = np.asarray(ctx.face_flip).reshape(K, n_faces)
+
+    # ---- decompose the '+'-trace map into (face, shift, src_face, flip)
+    # combos with per-combo target-lane masks ----
+    combo_ids: dict[tuple, int] = {}
+    masks: list[np.ndarray] = []
+    for k in range(K):
+        for f in range(n_faces):
+            nbr = int(face_nbr[k, f])
+            k2, f2 = nbr // n_faces, nbr % n_faces
+            shift = (k - k2) % Kp  # roll semantics: out[l] = in[(l-shift)%Kp]
+            key = (f, shift, f2, bool(face_flip[k, f]))
+            ci = combo_ids.setdefault(key, len(combo_ids))
+            if ci == len(masks):
+                masks.append(np.zeros(Kp))
+            masks[ci][k] = 1.0
+    n_combos = len(combo_ids)
+    if n_combos > max_combos:
+        raise ValueError(
+            f"trace exchange needs {n_combos} roll combos (> {max_combos}); "
+            "reorder elements with parallel.partition.rcm_order first"
+        )
+    C_pad = _pad(max(n_combos, 1), SUB)
+    cmask = np.zeros((C_pad, Kp))
+    cmask[:n_combos] = np.stack(masks) if masks else 0.0
+    combos = tuple(combo_ids.keys())
+
+    def padm(a, rows, cols):
+        out = np.zeros((rows, cols))
+        out[: a.shape[0], : a.shape[1]] = np.asarray(a)
+        return out
+
+    def padT(a, rows):  # (K, n) field -> transposed padded (rows, Kp)
+        return padm(np.asarray(a).T, rows, Kp)
+
+    EM = np.zeros((NT, NP))
+    EM[np.arange(n_tr), np.asarray(ctx.fmask).reshape(-1)] = 1.0
+
+    wall = np.zeros((K, n_tr))
+    w_idx = np.asarray(ctx.bc_maps.idx[BC_WALL])
+    w_msk = np.asarray(ctx.bc_maps.mask[BC_WALL])
+    wall.reshape(-1)[w_idx[w_msk]] = 1.0
+
+    vmask = np.zeros((NP, Kp))
+    vmask[:n_p, :K] = 1.0
+    tmask = np.zeros((NT, Kp))
+    tmask[:n_tr, :K] = 1.0
+
+    if forcing_bu is None:
+        forcing_bu = np.zeros((1, K, n_p))
+        forcing_bv = np.zeros((1, K, n_p))
+    n_ctrl = forcing_bu.shape[0]
+    BU = np.stack([padT(forcing_bu[c], NP) for c in range(n_ctrl)])
+    BV = np.stack([padT(forcing_bv[c], NP) for c in range(n_ctrl)])
+
+    to = lambda a: jnp.asarray(a, dtype=dtype)
+    ops = BlockedOps(
+        Dr=to(padm(ctx.Dr, NP, NP)),
+        Ds=to(padm(ctx.Ds, NP, NP)),
+        FILT=to(padm(ctx.filter, NP, NP)),
+        LIFT=to(padm(ctx.lift, NP, NT)),
+        EM=to(EM),
+        rx=to(padT(ctx.rx, NP)), sx=to(padT(ctx.sx, NP)),
+        ry=to(padT(ctx.ry, NP)), sy=to(padT(ctx.sy, NP)),
+        nx=to(padT(ctx.nx, NT)), ny=to(padT(ctx.ny, NT)),
+        fscale=to(padT(ctx.fscale, NT)),
+        wall=to(padT(wall, NT)),
+        vmask=to(vmask), tmask=to(tmask), cmask=to(cmask),
+        BU=to(BU), BV=to(BV),
+    )
+    meta = BlockedMeta(
+        n_p=n_p, n_fp=n_fp, n_faces=n_faces, k_elem=K,
+        NP=NP, NT=NT, Kp=Kp, n_ctrl=n_ctrl, g=float(phys.g), combos=combos,
+    )
+    return ops, meta
+
+
+def pack_state(meta: BlockedMeta, f: jnp.ndarray) -> jnp.ndarray:
+    """(B, K, Np) -> transposed padded (B, NP, Kp)."""
+    ft = jnp.swapaxes(f, -1, -2)  # (B, Np, K)
+    return jnp.pad(ft, ((0, 0), (0, meta.NP - meta.n_p),
+                        (0, meta.Kp - meta.k_elem)))
+
+
+def unpack_state(meta: BlockedMeta, f: jnp.ndarray) -> jnp.ndarray:
+    return jnp.swapaxes(f[..., : meta.n_p, : meta.k_elem], -1, -2)
+
+
+def _mm(a, b):
+    # full-precision MXU passes (see sw2d_pallas._mm / config.dg_op);
+    # accumulate in the operand dtype (f32 on hardware, f64 in the
+    # interpret-mode parity tests)
+    return jnp.dot(a, b, preferred_element_type=a.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def _plus_trace(fM, o, meta: BlockedMeta):
+    """'+' trace from the '-' trace by static lane rolls + masked adds."""
+    n_fp, NT, Kp = meta.n_fp, meta.NT, meta.Kp
+    acc = [jnp.zeros((n_fp, Kp), fM.dtype) for _ in range(meta.n_faces)]
+    for ci, (f, shift, f2, flip) in enumerate(meta.combos):
+        block = fM[f2 * n_fp:(f2 + 1) * n_fp, :]
+        if flip:
+            # static row reversal via slices (lax.rev has no Mosaic lowering)
+            base = f2 * n_fp
+            block = jnp.concatenate(
+                [fM[base + i:base + i + 1, :]
+                 for i in range(n_fp - 1, -1, -1)], axis=0)
+        if shift:
+            block = pltpu.roll(block, shift, axis=1)
+        acc[f] = acc[f] + o.cmask[ci:ci + 1, :] * block
+    pad_rows = NT - meta.n_faces * n_fp
+    if pad_rows:
+        acc.append(jnp.zeros((pad_rows, Kp), fM.dtype))
+    return jnp.concatenate(acc, axis=0)
+
+
+def _face_max(spd, meta: BlockedMeta):
+    """Per-face max over the n_fp sublane rows of each face group."""
+    n_fp = meta.n_fp
+    rows = []
+    for f in range(meta.n_faces):
+        blk = spd[f * n_fp:(f + 1) * n_fp, :]
+        m = jnp.max(blk, axis=0, keepdims=True)
+        rows.append(jnp.broadcast_to(m, blk.shape))
+    pad_rows = meta.NT - meta.n_faces * n_fp
+    if pad_rows:
+        rows.append(spd[meta.n_faces * n_fp:, :])
+    return jnp.concatenate(rows, axis=0)
+
+
+def _rhs_blocked(h, hu, hv, ctrl, o: BlockedOps, meta: BlockedMeta):
+    """One shallow-water RHS on transposed padded (NP, Kp) values.
+
+    Same math as ops.sw2d.sw2d_rhs (wall BCs, per-face trace-max LF flux);
+    pure jnp on values — shared by step and rollout kernels.
+    """
+    g = meta.g
+    h = jnp.where(o.vmask > 0, h, 1.0)
+    hu = hu * o.vmask
+    hv = hv * o.vmask
+
+    hM = _mm(o.EM, h)
+    huM = _mm(o.EM, hu)
+    hvM = _mm(o.EM, hv)
+    hP = _plus_trace(hM, o, meta)
+    huP = _plus_trace(huM, o, meta)
+    hvP = _plus_trace(hvM, o, meta)
+
+    # wall reflection: huP = huM - 2 (u.n) nx etc. (masked overwrite)
+    un2 = 2.0 * (huM * o.nx + hvM * o.ny)
+    huP = huP + o.wall * (huM - un2 * o.nx - huP)
+    hvP = hvP + o.wall * (hvM - un2 * o.ny - hvP)
+
+    hM = jnp.where(o.tmask > 0, hM, 1.0)
+    hP = jnp.where(o.tmask > 0, hP, 1.0)
+
+    def flux(hh, hhu, hhv):
+        inv_h = 1.0 / hh
+        p = 0.5 * g * hh * hh
+        F2 = hhu * hhu * inv_h + p
+        G2 = hhu * hhv * inv_h
+        G3 = hhv * hhv * inv_h + p
+        return hhu, F2, G2, hhv, G2, G3
+
+    F1M, F2M, F3M, G1M, G2M, G3M = flux(hM, huM, hvM)
+    F1P, F2P, F3P, G1P, G2P, G3P = flux(hP, huP, hvP)
+
+    spdM = jnp.sqrt((huM / hM) ** 2 + (hvM / hM) ** 2) + jnp.sqrt(g * hM)
+    spdP = jnp.sqrt((huP / hP) ** 2 + (hvP / hP) ** 2) + jnp.sqrt(g * hP)
+    lam = _face_max(jnp.maximum(spdM, spdP), meta)
+
+    dflux1 = 0.5 * ((F1M - F1P) * o.nx + (G1M - G1P) * o.ny - lam * (hM - hP))
+    dflux2 = 0.5 * ((F2M - F2P) * o.nx + (G2M - G2P) * o.ny - lam * (huM - huP))
+    dflux3 = 0.5 * ((F3M - F3P) * o.nx + (G3M - G3P) * o.ny - lam * (hvM - hvP))
+
+    F1, F2, F3, G1, G2, G3 = flux(h, hu, hv)
+
+    def div(F, G):
+        return (o.rx * _mm(o.Dr, F) + o.sx * _mm(o.Ds, F)
+                + o.ry * _mm(o.Dr, G) + o.sy * _mm(o.Ds, G))
+
+    surf = lambda d: _mm(o.LIFT, o.fscale * d)
+    rhs1 = surf(dflux1) - div(F1, G1)
+    rhs2 = surf(dflux2) - div(F2, G2)
+    rhs3 = surf(dflux3) - div(F3, G3)
+
+    if ctrl is not None:
+        for c in range(meta.n_ctrl):
+            rhs2 = rhs2 + ctrl[c] * o.BU[c]
+            rhs3 = rhs3 + ctrl[c] * o.BV[c]
+    return rhs1, rhs2, rhs3
+
+
+def _eval_rhs(h, hu, hv, ctrl, o, meta, use_filter):
+    r1, r2, r3 = _rhs_blocked(h, hu, hv, ctrl, o, meta)
+    if use_filter:
+        r1, r2, r3 = _mm(o.FILT, r1), _mm(o.FILT, r2), _mm(o.FILT, r3)
+    return r1, r2, r3
+
+
+def _step_values(h, hu, hv, ctrl, o, meta, dt, use_filter):
+    """One SSP-RK2 step on transposed padded values."""
+    k1 = _eval_rhs(h, hu, hv, ctrl, o, meta, use_filter)
+    h1 = h + 0.5 * dt * k1[0]
+    hu1 = hu + 0.5 * dt * k1[1]
+    hv1 = hv + 0.5 * dt * k1[2]
+    k2 = _eval_rhs(h1, hu1, hv1, ctrl, o, meta, use_filter)
+    return h + dt * k2[0], hu + dt * k2[1], hv + dt * k2[2]
+
+
+_OP_FIELDS = len(BlockedOps._fields)
+
+
+def _step_kernel(meta, dt, use_filter, has_ctrl,
+                 h_ref, hu_ref, hv_ref, *refs):
+    if has_ctrl:
+        ctrl_ref, *op_refs = refs
+        ctrl = [ctrl_ref[0, c] for c in range(meta.n_ctrl)]
+    else:
+        op_refs = refs
+        ctrl = None
+    *ops_list, oh, ohu, ohv = op_refs
+    o = BlockedOps(*(r[:] for r in ops_list))
+    h2, hu2, hv2 = _step_values(
+        h_ref[0], hu_ref[0], hv_ref[0], ctrl, o, meta, dt, use_filter
+    )
+    oh[0] = h2
+    ohu[0] = hu2
+    ohv[0] = hv2
+
+
+@functools.partial(
+    jax.jit, static_argnames=("meta", "dt", "use_filter", "interpret")
+)
+def sw2d_step_blocked(
+    ops: BlockedOps,
+    meta: BlockedMeta,
+    h: jnp.ndarray,  # (B, NP, Kp) packed states
+    hu: jnp.ndarray,
+    hv: jnp.ndarray,
+    ctrl: jnp.ndarray | None,  # (B, n_ctrl) or None
+    dt: float,
+    use_filter: bool = True,
+    interpret: bool = False,
+):
+    """One fused SSP-RK2 step, grid over scenarios."""
+    B, NP, Kp = h.shape
+    state_spec = pl.BlockSpec((1, NP, Kp), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    op_specs = [
+        pl.BlockSpec(op.shape, lambda i, nd=op.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for op in ops
+    ]
+    has_ctrl = ctrl is not None
+    inputs = [h, hu, hv]
+    in_specs = [state_spec] * 3
+    if has_ctrl:
+        inputs.append(ctrl)
+        in_specs.append(pl.BlockSpec((1, meta.n_ctrl), lambda i: (i, 0),
+                                     memory_space=pltpu.SMEM))
+    kernel = functools.partial(_step_kernel, meta, float(dt), use_filter,
+                               has_ctrl)
+    shp = jax.ShapeDtypeStruct((B, NP, Kp), h.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=in_specs + op_specs,
+        out_specs=(state_spec, state_spec, state_spec),
+        out_shape=(shp, shp, shp),
+        interpret=interpret,
+    )(*inputs, *ops)
+
+
+def _rollout_kernel(meta, dt, spc, n_steps, use_filter, has_ctrl, store_traj,
+                    h_ref, hu_ref, hv_ref, *refs):
+    """Fused rollout: state lives in VMEM scratch across all steps; the
+    step-start states are (optionally) DMA'd to an HBM trajectory buffer."""
+    if has_ctrl:
+        ctrl_ref, *refs = refs
+    ops_list = refs[:_OP_FIELDS]
+    refs = refs[_OP_FIELDS:]
+    if store_traj:
+        traj_h, traj_hu, traj_hv = refs[:3]
+        oh, ohu, ohv = refs[3:6]
+        h_s, hu_s, hv_s, sem = refs[6:]
+    else:
+        oh, ohu, ohv = refs[:3]
+        h_s, hu_s, hv_s = refs[3:]
+    o = BlockedOps(*(r[:] for r in ops_list))
+
+    h_s[:] = h_ref[0]
+    hu_s[:] = hu_ref[0]
+    hv_s[:] = hv_ref[0]
+    b = pl.program_id(0)
+
+    def dmas(t):
+        return [
+            pltpu.make_async_copy(src, dst.at[b, t], sem.at[i])
+            for i, (src, dst) in enumerate(
+                ((h_s, traj_h), (hu_s, traj_hu), (hv_s, traj_hv))
+            )
+        ]
+
+    def body(t, _):
+        if store_traj:
+            for d in dmas(t):
+                d.start()
+        if has_ctrl:
+            j = t // spc
+            ctrl = [ctrl_ref[0, j, c] for c in range(meta.n_ctrl)]
+        else:
+            ctrl = None
+        h2, hu2, hv2 = _step_values(
+            h_s[:], hu_s[:], hv_s[:], ctrl, o, meta, dt, use_filter
+        )
+        if store_traj:
+            for d in dmas(t):
+                d.wait()
+        h_s[:] = h2
+        hu_s[:] = hu2
+        hv_s[:] = hv2
+        return 0
+
+    jax.lax.fori_loop(0, n_steps, body, 0)
+    if store_traj:
+        for d in dmas(n_steps):
+            d.start()
+        for d in dmas(n_steps):
+            d.wait()
+    oh[0] = h_s[:]
+    ohu[0] = hu_s[:]
+    ohv[0] = hv_s[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("meta", "dt", "spc", "n_steps", "use_filter",
+                     "store_traj", "interpret"),
+)
+def sw2d_rollout_blocked(
+    ops: BlockedOps,
+    meta: BlockedMeta,
+    h: jnp.ndarray,  # (B, NP, Kp) packed initial states
+    hu: jnp.ndarray,
+    hv: jnp.ndarray,
+    ctrls: jnp.ndarray | None,  # (B, n_ctrl_steps, n_ctrl) or None
+    dt: float,
+    spc: int = 1,  # RK steps per control step
+    n_steps: int | None = None,  # required when ctrls is None
+    use_filter: bool = True,
+    store_traj: bool = False,
+    interpret: bool = False,
+):
+    """Fused SSP-RK2 rollout. Returns the final packed state triple, plus
+    the step-start trajectory (B, n_steps+1, NP, Kp) per field when
+    ``store_traj`` (for the MPC cost/adjoint)."""
+    B, NP, Kp = h.shape
+    has_ctrl = ctrls is not None
+    if has_ctrl:
+        n_steps = ctrls.shape[1] * spc
+    assert n_steps is not None
+
+    state_spec = pl.BlockSpec((1, NP, Kp), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    op_specs = [
+        pl.BlockSpec(op.shape, lambda i, nd=op.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for op in ops
+    ]
+    inputs = [h, hu, hv]
+    in_specs = [state_spec] * 3
+    if has_ctrl:
+        inputs.append(ctrls)
+        in_specs.append(
+            pl.BlockSpec((1, ctrls.shape[1], meta.n_ctrl),
+                         lambda i: (i, 0, 0), memory_space=pltpu.SMEM))
+
+    shp = jax.ShapeDtypeStruct((B, NP, Kp), h.dtype)
+    out_shape = [shp, shp, shp]
+    out_specs = [state_spec, state_spec, state_spec]
+    scratch = [pltpu.VMEM((NP, Kp), h.dtype)] * 3
+    if store_traj:
+        tshp = jax.ShapeDtypeStruct((B, n_steps + 1, NP, Kp), h.dtype)
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        out_shape = [tshp, tshp, tshp] + out_shape
+        out_specs = [any_spec, any_spec, any_spec] + out_specs
+        scratch = scratch + [pltpu.SemaphoreType.DMA((3,))]
+
+    kernel = functools.partial(
+        _rollout_kernel, meta, float(dt), spc, n_steps, use_filter,
+        has_ctrl, store_traj,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=in_specs + op_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*inputs, *ops)
+    return out

@@ -72,6 +72,29 @@ def partition_mesh(mesh: Mesh2D, n_parts: int) -> tuple[Mesh2D, np.ndarray, int]
     return new_mesh, perm, kp
 
 
+def rcm_order(mesh: Mesh2D) -> tuple[Mesh2D, np.ndarray]:
+    """Reorder elements by reverse Cuthill-McKee over the face-adjacency
+    graph, bounding the neighbor lane-index bandwidth to ~sqrt(K). This is
+    what makes the blocked Pallas trace exchange (ops/sw2d_blocked.py) cheap
+    on UNSTRUCTURED meshes: the '+'-trace roll-combo count drops from O(K)
+    to O(bandwidth). Returns (reordered mesh, permutation old-index-of-new).
+    """
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    K, nf = mesh.etoe.shape
+    rows = np.repeat(np.arange(K), nf)
+    cols = mesh.etoe.reshape(-1)
+    A = sp.coo_matrix((np.ones(K * nf), (rows, cols)), shape=(K, K)).tocsr()
+    perm = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
+    new_mesh = build_mesh(mesh.verts, mesh.etov[perm])
+    if mesh.bc_type is not None:
+        new_mesh.bc_type = mesh.bc_type[perm]
+    new_mesh.boundary_lines = mesh.boundary_lines
+    new_mesh.boundary_tags = mesh.boundary_tags
+    return new_mesh, perm
+
+
 def pad_elements(mesh: Mesh2D, n_parts: int) -> Mesh2D:
     """Pad K to a multiple of n_parts by replicating the last element as
     disconnected degenerate copies? Not supported in v1 — meshes whose K is
