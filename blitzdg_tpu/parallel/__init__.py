@@ -7,7 +7,14 @@ from .halo import (
     halo_tables,
     halo_traces,
 )
-from .partition import partition_mesh, rcb_partition
+from .partition import (
+    pad_context,
+    partition_mesh,
+    rcb_block_sizes,
+    rcb_partition,
+    rcm_order,
+)
+from .distributed import distributed_init, make_global_mesh
 from .sharding import (
     context_shard_specs,
     make_device_mesh,
@@ -18,9 +25,14 @@ from .sharding import (
 __all__ = [
     "partition_mesh",
     "rcb_partition",
+    "rcb_block_sizes",
+    "pad_context",
+    "rcm_order",
     "make_device_mesh",
     "shard_context",
     "context_shard_specs",
+    "distributed_init",
+    "make_global_mesh",
     "sharded_sw2d_rhs",
     "HaloPlan",
     "build_halo_plan",

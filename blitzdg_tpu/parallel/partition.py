@@ -95,14 +95,144 @@ def rcm_order(mesh: Mesh2D) -> tuple[Mesh2D, np.ndarray]:
     return new_mesh, perm
 
 
+def rcb_block_sizes(mesh: Mesh2D, n_parts: int) -> np.ndarray:
+    """Per-shard element counts of the RCB partition (the block sizes
+    `partition_mesh` produces for the same mesh/n_parts)."""
+    cent = mesh.verts[mesh.etov].mean(axis=1)
+    return np.bincount(rcb_partition(cent, n_parts), minlength=n_parts)
+
+
+def pad_context(ctx, sizes):
+    """Arbitrary-K element sharding via GHOST-element padding (reference
+    analog: METIS handles any K, MeshManager.cpp:491-544; our contiguous
+    equal-block sharding needs K % n_shards == 0 — this removes that
+    restriction at the CONTEXT level).
+
+    ``sizes``: per-shard REAL element counts of the contiguous blocks the
+    context's element order already follows (from `rcb_block_sizes` /
+    `partition_mesh`). Every shard's block is padded to max(sizes) with
+    ghost elements that are
+
+     - geometrically valid (element 0's geometry copied — no degenerate
+       Jacobians), but with ``fscale = 0`` so they contribute NOTHING to
+       surface integrals or the pmax adaptive-dt reduction;
+     - fully self-connected (each face's '+' trace is its own '-' trace)
+       and absent from every BC table — no coupling to real elements, so
+       real-element results are BITWISE identical to the unpadded context;
+     - zero-preserving in linear operators (isolated blocks), so Krylov
+       solves seeded with zero ghost rhs/x0 keep exactly zero ghost
+       residuals and identical inner products / iterates.
+
+    Returns (padded context, real-element mask (K_new,) bool) — apply the
+    mask in any user-level reduction over elements (costs, norms).
+    """
+    import jax.numpy as jnp
+
+    from ..context import BCMaps, DGContext2D
+
+    sizes = np.asarray(sizes, dtype=np.int64)
+    n_shards = len(sizes)
+    K, n_p = ctx.k_elem, ctx.n_p
+    n_faces, n_fp = ctx.n_faces, ctx.n_fp
+    n_tr = n_faces * n_fp
+    assert int(sizes.sum()) == K, (sizes, K)
+    kp = int(sizes.max())
+    K_new = n_shards * kp
+    if K_new == K:
+        return ctx, np.ones(K, dtype=bool)
+
+    starts = np.concatenate([[0], np.cumsum(sizes)])
+    newpos = np.empty(K, dtype=np.int64)
+    for s in range(n_shards):
+        newpos[starts[s]:starts[s + 1]] = s * kp + np.arange(sizes[s])
+    is_real = np.zeros(K_new, dtype=bool)
+    is_real[newpos] = True
+    src = np.zeros(K_new, dtype=np.int64)  # old element feeding each new row
+    src[newpos] = np.arange(K)
+
+    def rows(a):  # (K, ...) -> (K_new, ...); ghosts copy element 0
+        return np.asarray(a)[src]
+
+    def remap_vol(m):
+        m = np.asarray(m)
+        return (newpos[m // n_p] * n_p + m % n_p).astype(m.dtype)
+
+    def remap_tr(m):
+        m = np.asarray(m)
+        return (newpos[m // n_tr] * n_tr + m % n_tr).astype(m.dtype)
+
+    ghost = ~is_real
+    fmask_flat = np.asarray(ctx.fmask).reshape(-1)
+
+    vmapM = rows(remap_vol(ctx.vmapM))
+    vmapP = rows(remap_vol(ctx.vmapP))
+    mapP = rows(remap_tr(ctx.mapP))
+    kn = np.arange(K_new)[:, None]
+    vmapM[ghost] = (kn * n_p + fmask_flat[None, :])[ghost]
+    vmapP[ghost] = vmapM[ghost]
+    mapP[ghost] = (kn * n_tr + np.arange(n_tr)[None, :])[ghost]
+
+    face_nbr = face_flip = None
+    if ctx.face_nbr is not None:
+        fn = np.asarray(ctx.face_nbr).reshape(K, n_faces)
+        fn = (newpos[fn // n_faces] * n_faces + fn % n_faces)[src]
+        fn[ghost] = (np.arange(K_new)[:, None] * n_faces
+                     + np.arange(n_faces)[None, :])[ghost]
+        face_nbr = jnp.asarray(fn.reshape(-1).astype(np.int32))
+        fl = np.asarray(ctx.face_flip).reshape(K, n_faces)[src]
+        fl[ghost] = False
+        face_flip = jnp.asarray(fl.reshape(-1))
+
+    fscale = rows(ctx.fscale)
+    fscale[ghost] = 0.0
+    bc_table = rows(ctx.bc_table)
+    bc_table[ghost] = 0
+
+    bc_idx = {t: jnp.asarray(remap_tr(a)) for t, a in ctx.bc_maps.idx.items()}
+    bc_maps = BCMaps(idx=bc_idx, mask=ctx.bc_maps.mask)
+
+    # SEM assembly maps: ghosts get fresh unique node ids (isolated)
+    scatter_old = np.asarray(ctx.scatter_ids)
+    n_unique = int(np.asarray(ctx.gather_ids).shape[0])
+    scatter = np.zeros(K_new * n_p, dtype=scatter_old.dtype)
+    real_nodes = (newpos[:, None] * n_p + np.arange(n_p)[None, :]).ravel()
+    scatter[real_nodes] = scatter_old
+    ghost_nodes = np.setdiff1d(np.arange(K_new * n_p), real_nodes)
+    scatter[ghost_nodes] = n_unique + np.arange(ghost_nodes.size)
+    gather = np.concatenate(
+        [remap_vol(ctx.gather_ids), ghost_nodes.astype(scatter_old.dtype)])
+
+    dt = np.asarray(ctx.x).dtype
+    asdt = lambda a: jnp.asarray(a, dtype=dt)
+    asint = lambda a: jnp.asarray(np.asarray(a).astype(np.int32))
+    new = DGContext2D(
+        n_order=ctx.n_order, n_p=n_p, k_elem=K_new, n_faces=n_faces,
+        n_fp=n_fp,
+        r=ctx.r, s=ctx.s, V=ctx.V, Vinv=ctx.Vinv, Dr=ctx.Dr, Ds=ctx.Ds,
+        Drw=ctx.Drw, Dsw=ctx.Dsw, lift=ctx.lift, filter=ctx.filter,
+        fmask=ctx.fmask,
+        x=asdt(rows(ctx.x)), y=asdt(rows(ctx.y)), J=asdt(rows(ctx.J)),
+        rx=asdt(rows(ctx.rx)), ry=asdt(rows(ctx.ry)),
+        sx=asdt(rows(ctx.sx)), sy=asdt(rows(ctx.sy)),
+        nx=asdt(rows(ctx.nx)), ny=asdt(rows(ctx.ny)),
+        fscale=asdt(fscale), sJ=asdt(rows(ctx.sJ)),
+        vmapM=asint(vmapM), vmapP=asint(vmapP), mapP=asint(mapP),
+        mapB=asint(remap_tr(ctx.mapB)), maskB=ctx.maskB,
+        vmapB=asint(remap_vol(ctx.vmapB)),
+        bc_maps=bc_maps, bc_table=asint(bc_table),
+        gather_ids=asint(gather), scatter_ids=asint(scatter),
+        face_nbr=face_nbr, face_flip=face_flip,
+    )
+    return new, is_real
+
+
 def pad_elements(mesh: Mesh2D, n_parts: int) -> Mesh2D:
-    """Pad K to a multiple of n_parts by replicating the last element as
-    disconnected degenerate copies? Not supported in v1 — meshes whose K is
-    not divisible by the shard count should be generated at a divisible
-    size (generators are parametric)."""
+    """Mesh-level padding is the wrong level (degenerate elements would
+    corrupt connectivity); use `pad_context` on the built context instead."""
     if mesh.num_elements % n_parts == 0:
         return mesh
     raise ValueError(
         f"K={mesh.num_elements} not divisible by n_parts={n_parts}; "
-        "regenerate the mesh at a divisible element count"
+        "build the DG context and pad it with pad_context(ctx, "
+        "rcb_block_sizes(mesh, n_parts)) instead"
     )

@@ -30,9 +30,13 @@ def test_burgers1d_traveling_wave():
     t_end = num_steps * dt
     exact = burgers_exact(ctx.x, t_end, alpha, nu, c)
     err = float(jnp.max(jnp.abs(u - exact)))
-    # Reference prints a small max-norm error for this config; the LDG
-    # discretization at N=6 resolves the tanh wave to ~1e-5.
-    assert err < 1e-4, f"max-norm error too large: {err}"
+    # Golden control-parity constant (BASELINE.md 1e-6 bar) for config #2
+    # (burgers1d/main.cpp:109-112 semantics; N=6, K=40, 94 LSERK4 steps to
+    # t=0.1004). Captured from the x64 run of the same LDG algorithm; see
+    # test_advec1d for the rationale. Any drift beyond 1e-6 in the solution
+    # flags a parity break.
+    GOLDEN = 1.723080521598419e-07
+    assert abs(err - GOLDEN) < 1e-6, f"err {err} drifted from {GOLDEN}"
 
 
 def test_burgers1d_differentiable():

@@ -3,6 +3,7 @@ Gmsh writer round trip."""
 import os
 import xml.etree.ElementTree as ET
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -68,6 +69,89 @@ def test_checkpoint_roundtrip(tmp_path):
     out, step, t, extra = restore_checkpoint(p, state)
     assert step == 42 and t == 1.5 and extra["note"] == "x"
     np.testing.assert_allclose(np.asarray(out.hu), np.asarray(state.hu))
+
+
+def test_checkpoint_restore_validates_structure(tmp_path):
+    """A mismatched template must raise, not silently mis-assign leaves
+    (VERDICT r1 weak item 5)."""
+    import pytest
+
+    state = SWState(h=jnp.ones((4, 3)), hu=jnp.zeros((4, 3)),
+                    hv=jnp.zeros((4, 3)))
+    p = str(tmp_path / "ckpt.npz")
+    save_checkpoint(p, state)
+
+    # wrong leaf shape
+    bad_shape = SWState(h=jnp.ones((5, 3)), hu=jnp.zeros((4, 3)),
+                        hv=jnp.zeros((4, 3)))
+    with pytest.raises(ValueError, match="shape"):
+        restore_checkpoint(p, bad_shape)
+
+    # wrong dtype
+    bad_dtype = SWState(h=jnp.ones((4, 3), dtype=jnp.float32),
+                        hu=jnp.zeros((4, 3)), hv=jnp.zeros((4, 3)))
+    with pytest.raises(ValueError, match="dtype"):
+        restore_checkpoint(p, bad_dtype)
+    out, *_ = restore_checkpoint(p, bad_dtype, strict_dtype=False)
+    np.testing.assert_allclose(np.asarray(out.h), 1.0)
+
+    # wrong pytree structure (dict instead of SWState)
+    bad_tree = {"a": jnp.ones((4, 3)), "b": jnp.zeros((4, 3)),
+                "c": jnp.zeros((4, 3))}
+    with pytest.raises(ValueError, match="treedef"):
+        restore_checkpoint(p, bad_tree)
+
+    # wrong leaf count
+    with pytest.raises(ValueError, match="leaves"):
+        restore_checkpoint(p, (jnp.ones((4, 3)), jnp.zeros((4, 3))))
+
+
+def test_checkpoint_mpc_resume(tmp_path):
+    """Mid-solve MPC resume: checkpoint (controls, Adam state) after 5
+    iterations, restore, run 5 more — identical to an uninterrupted
+    10-iteration solve (optimizer-state round trip, VERDICT r1 item 10)."""
+    import optax
+
+    from blitzdg_tpu.mesh import box_triangles
+    from blitzdg_tpu.mpc import MPCProblem, mpc_cost
+    from blitzdg_tpu.ops.sw2d import SWPhysics
+    from blitzdg_tpu.specgrid.triangle import build_triangle_context
+
+    ctx = build_triangle_context(1, box_triangles(2, 2))
+    prob = MPCProblem(ctx=ctx, phys=SWPhysics(g=9.81), dt=1e-3, horizon=2,
+                      steps_per_control=2, q_eta=0.0, q_terminal=1.0,
+                      r_control=1e-8)
+    h0 = jnp.full((ctx.k_elem, ctx.n_p), 10.0)
+    state0 = SWState(h=h0, hu=jnp.zeros_like(h0), hv=jnp.zeros_like(h0))
+    target = 1e-3 * jnp.exp(-5.0 * (ctx.x**2 + ctx.y**2))
+    bump = jnp.exp(-8.0 * (ctx.x**2 + ctx.y**2))
+
+    def forcing(c, control, state, t):
+        return (jnp.zeros_like(state.h), control[0] * bump, control[1] * bump)
+
+    loss = lambda c: mpc_cost(prob, state0, c, target, forcing)
+    opt = optax.adam(0.05)
+
+    def run(carry, n):
+        c, s = carry
+        for _ in range(n):
+            g = jax.grad(loss)(c)
+            upd, s = opt.update(g, s, c)
+            c = optax.apply_updates(c, upd)
+        return c, s
+
+    c0 = jnp.zeros((prob.horizon, 2))
+    carry = run((c0, opt.init(c0)), 5)
+
+    p = str(tmp_path / "mpc.npz")
+    save_checkpoint(p, carry, step=5)
+    restored, step, _, _ = restore_checkpoint(p, carry)
+    assert step == 5
+
+    c_resumed, _ = run(restored, 5)
+    c_straight, _ = run((c0, opt.init(c0)), 10)
+    np.testing.assert_allclose(np.asarray(c_resumed), np.asarray(c_straight),
+                               atol=1e-12)
 
 
 def test_gmsh_roundtrip(tmp_path):
