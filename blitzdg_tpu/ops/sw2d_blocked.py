@@ -23,10 +23,15 @@ The whole SSP-RK2 step (2 RHS + filter + axpy) — and the whole ROLLOUT —
 runs in VMEM; HBM sees the state once per rollout (plus the optional stored
 trajectory for the MPC adjoint).
 
-Physics scope matches ops.sw2d.sw2d_rhs for wall-only BCs on a flat bottom
-(reference sw2d-simple, src/sw2d-simple/main.cpp:181-356), plus linear
-control forcing; verified bitwise against the XLA path in f64 interpret
-mode (tests/test_blocked.py).
+Physics scope matches ops.sw2d.sw2d_rhs IN FULL: wall reflection, tidal
+BC_OUT open-boundary forcing (h0 + amp*cos(omega*t)*ramp, reference
+sw2d/main.cpp:347-353 — the time-dependent scalar is computed in-kernel),
+bathymetry with hydrostatic-reconstruction well-balancing (star variables,
+main.cpp:356-368,419-421; the static bathymetry TRACES are precomputed at
+setup so no extra exchange happens in the kernel), bed-slope/quadratic-
+drag/Coriolis sources, sponge relaxation after each step, modal filter, and
+linear control forcing. Verified against the XLA path in f64 interpret mode
+(tests/test_blocked.py), including the full coastal configuration.
 """
 from __future__ import annotations
 
@@ -69,6 +74,13 @@ class BlockedOps(NamedTuple):
     vmask: jnp.ndarray  # (NP, Kp) 1.0 at valid volume nodes
     tmask: jnp.ndarray  # (NT, Kp) 1.0 at valid trace nodes
     cmask: jnp.ndarray  # (C_pad, Kp) per-combo target-lane masks
+    obc: jnp.ndarray  # (NT, Kp) BC_OUT mask (tidal open boundary)
+    H: jnp.ndarray  # (NP, Kp) still-water depth (1.0 when absent/pad)
+    Hx: jnp.ndarray  # (NP, Kp) bed slopes (0 when absent)
+    Hy: jnp.ndarray
+    SPNG: jnp.ndarray  # (NP, Kp) sponge coefficient (0 when absent)
+    HMt: jnp.ndarray  # (NT, Kp) precomputed '-' trace of H (1.0 pad)
+    HPt: jnp.ndarray  # (NT, Kp) precomputed '+' trace of H (1.0 pad)
     BU: jnp.ndarray  # (n_ctrl, NP, Kp) control forcing injectors
     BV: jnp.ndarray
 
@@ -83,6 +95,14 @@ class BlockedMeta(NamedTuple):
     Kp: int  # padded K (lane multiple)
     n_ctrl: int
     g: float
+    cd: float  # quadratic bottom drag (0 = off)
+    f_cor: float  # Coriolis parameter (0 = off)
+    wb: bool  # hydrostatic-reconstruction well-balancing active
+    has_bathy: bool  # bed-slope sources active
+    has_sponge: bool
+    # tidal BC_OUT params (h0, amp, omega, ramp_tau) or None:
+    # hP(obc) = h0 + amp*cos(omega*t)*min(t/ramp_tau, 1)
+    tidal: tuple | None
     # static combo table: ((target_face, lane_shift, src_face, flip), ...)
     combos: tuple
 
@@ -94,17 +114,13 @@ def build_blocked_step_ops(
     forcing_bv: np.ndarray | None = None,
     dtype=jnp.float32,
     max_combos: int = 2048,
+    tidal: tuple | None = None,  # (h0, amp, omega, ramp_tau) BC_OUT forcing
 ) -> tuple[BlockedOps, BlockedMeta]:
     """Freeze the blocked operator set (host-side, once at setup).
 
     Raises if the mesh's trace exchange needs more than ``max_combos``
     distinct roll patterns — reorder with `rcm_order` first.
     """
-    if phys.Hx is not None or phys.cd != 0.0 or phys.f_cor != 0.0:
-        raise NotImplementedError(
-            "blocked step kernel covers flat-bottom, drag-free, "
-            "Coriolis-free physics (the DG-rollout bench regime)"
-        )
     K, n_p = ctx.k_elem, ctx.n_p
     n_fp, n_faces = ctx.n_fp, ctx.n_faces
     n_tr = n_faces * n_fp
@@ -168,6 +184,37 @@ def build_blocked_step_ops(
     BU = np.stack([padT(forcing_bu[c], NP) for c in range(n_ctrl)])
     BV = np.stack([padT(forcing_bv[c], NP) for c in range(n_ctrl)])
 
+    obc = np.zeros((K, n_tr))
+    if tidal is not None:
+        from ..context import BC_OUT
+
+        o_idx = np.asarray(ctx.bc_maps.idx[BC_OUT])
+        o_msk = np.asarray(ctx.bc_maps.mask[BC_OUT])
+        obc.reshape(-1)[o_idx[o_msk]] = 1.0
+
+    has_bathy = phys.H is not None
+    wb = has_bathy and phys.well_balanced
+    if has_bathy:
+        Hpk = padm(np.asarray(phys.H).T, NP, Kp)
+        Hpk[n_p:, :] = 1.0
+        Hpk[:, K:] = 1.0
+        Hxp = padm(np.asarray(phys.Hx).T, NP, Kp)
+        Hyp = padm(np.asarray(phys.Hy).T, NP, Kp)
+        HMf, HPf = ctx.surface_trace(phys.H)
+        HMt = padm(np.asarray(HMf).reshape(K, n_tr).T, NT, Kp)
+        HPt = padm(np.asarray(HPf).reshape(K, n_tr).T, NT, Kp)
+        for a in (HMt, HPt):
+            a[n_tr:, :] = 1.0
+            a[:, K:] = 1.0
+    else:
+        Hpk = np.ones((NP, Kp))
+        Hxp = np.zeros((NP, Kp))
+        Hyp = np.zeros((NP, Kp))
+        HMt = np.ones((NT, Kp))
+        HPt = np.ones((NT, Kp))
+    has_sponge = phys.sponge is not None
+    SPNG = (padT(phys.sponge, NP) if has_sponge else np.zeros((NP, Kp)))
+
     to = lambda a: jnp.asarray(a, dtype=dtype)
     ops = BlockedOps(
         Dr=to(padm(ctx.Dr, NP, NP)),
@@ -181,11 +228,18 @@ def build_blocked_step_ops(
         fscale=to(padT(ctx.fscale, NT)),
         wall=to(padT(wall, NT)),
         vmask=to(vmask), tmask=to(tmask), cmask=to(cmask),
+        obc=to(padT(obc, NT)),
+        H=to(Hpk), Hx=to(Hxp), Hy=to(Hyp), SPNG=to(SPNG),
+        HMt=to(HMt), HPt=to(HPt),
         BU=to(BU), BV=to(BV),
     )
     meta = BlockedMeta(
         n_p=n_p, n_fp=n_fp, n_faces=n_faces, k_elem=K,
-        NP=NP, NT=NT, Kp=Kp, n_ctrl=n_ctrl, g=float(phys.g), combos=combos,
+        NP=NP, NT=NT, Kp=Kp, n_ctrl=n_ctrl, g=float(phys.g),
+        cd=float(phys.cd), f_cor=float(phys.f_cor), wb=wb,
+        has_bathy=has_bathy, has_sponge=has_sponge,
+        tidal=tuple(float(v) for v in tidal) if tidal is not None else None,
+        combos=combos,
     )
     return ops, meta
 
@@ -244,10 +298,20 @@ def _face_max(spd, meta: BlockedMeta):
     return jnp.concatenate(rows, axis=0)
 
 
-def _rhs_blocked(h, hu, hv, ctrl, o: BlockedOps, meta: BlockedMeta):
+def _safe_norm(u, v):
+    """sqrt(u^2+v^2) with a zero (not NaN) gradient at the origin — mirrors
+    ops.sw2d._safe_norm so lake-at-rest states are differentiable."""
+    r2 = u * u + v * v
+    r = jnp.sqrt(jnp.where(r2 > 0.0, r2, 1.0))
+    return jnp.where(r2 > 0.0, r, 0.0)
+
+
+def _rhs_blocked(h, hu, hv, t, ctrl, o: BlockedOps, meta: BlockedMeta):
     """One shallow-water RHS on transposed padded (NP, Kp) values.
 
-    Same math as ops.sw2d.sw2d_rhs (wall BCs, per-face trace-max LF flux);
+    Same math as ops.sw2d.sw2d_rhs — wall reflection, tidal BC_OUT forcing,
+    per-face trace-max LF flux with hydrostatic-reconstruction well-
+    balancing when bathymetry is present, bed-slope/drag/Coriolis sources;
     pure jnp on values — shared by step and rollout kernels.
     """
     g = meta.g
@@ -267,8 +331,62 @@ def _rhs_blocked(h, hu, hv, ctrl, o: BlockedOps, meta: BlockedMeta):
     huP = huP + o.wall * (huM - un2 * o.nx - huP)
     hvP = hvP + o.wall * (hvM - un2 * o.ny - hvP)
 
+    # tidal open boundary: prescribe total depth on BC_OUT trace nodes
+    # (reference sw2d/main.cpp:347-353; scalar computed in-kernel)
+    if meta.tidal is not None:
+        h0, amp, omega, ramp_tau = meta.tidal
+        ramp = jnp.minimum(t / ramp_tau, 1.0) if ramp_tau > 0 else 1.0
+        h_bc = h0 + amp * jnp.cos(omega * t) * ramp
+        hP = hP + o.obc * (h_bc - hP)
+
     hM = jnp.where(o.tmask > 0, hM, 1.0)
     hP = jnp.where(o.tmask > 0, hP, 1.0)
+
+    if meta.wb:
+        # hydrostatic-reconstruction star variables (ops.sw2d._lf_flux_jumps;
+        # reference sw2d/main.cpp:356-368, 419-421 intent)
+        uM, vM = huM / hM, hvM / hM
+        uP, vP = huP / hP, hvP / hP
+        bstar = jnp.maximum(-o.HMt, -o.HPt)
+        hMs = jnp.maximum(0.0, hM - o.HMt - bstar)
+        hPs = jnp.maximum(0.0, hP - o.HPt - bstar)
+        corr = (hM - hMs) * (uM * o.nx + vM * o.ny)
+
+        def flux_uv(hh, uu, vv):
+            p = 0.5 * g * hh * hh
+            return (hh * uu, hh * uu * uu + p, hh * uu * vv,
+                    hh * vv, hh * uu * vv, hh * vv * vv + p)
+
+        F1M, F2M, F3M, G1M, G2M, G3M = flux_uv(hMs, uM, vM)
+        F1P, F2P, F3P, G1P, G2P, G3P = flux_uv(hPs, uP, vP)
+        spdM = _safe_norm(uM, vM) + jnp.sqrt(g * hMs)
+        spdP = _safe_norm(uP, vP) + jnp.sqrt(g * hPs)
+        dh, dhu, dhv = hMs - hPs, F1M - F1P, G1M - G1P
+    else:
+        def flux_c(hh, hhu, hhv):
+            inv_h = 1.0 / hh
+            p = 0.5 * g * hh * hh
+            F2 = hhu * hhu * inv_h + p
+            G2 = hhu * hhv * inv_h
+            G3 = hhv * hhv * inv_h + p
+            return hhu, F2, G2, hhv, G2, G3
+
+        F1M, F2M, F3M, G1M, G2M, G3M = flux_c(hM, huM, hvM)
+        F1P, F2P, F3P, G1P, G2P, G3P = flux_c(hP, huP, hvP)
+        spdM = _safe_norm(huM / hM, hvM / hM) + jnp.sqrt(g * hM)
+        spdP = _safe_norm(huP / hP, hvP / hP) + jnp.sqrt(g * hP)
+        dh, dhu, dhv = hM - hP, huM - huP, hvM - hvP
+        corr = None
+
+    lam = _face_max(jnp.maximum(spdM, spdP), meta)
+
+    dflux1 = 0.5 * ((F1M - F1P) * o.nx + (G1M - G1P) * o.ny - lam * dh)
+    dflux2 = 0.5 * ((F2M - F2P) * o.nx + (G2M - G2P) * o.ny - lam * dhu)
+    dflux3 = 0.5 * ((F3M - F3P) * o.nx + (G3M - G3P) * o.ny - lam * dhv)
+    if corr is not None:
+        dflux1 = dflux1 + corr
+        dflux2 = dflux2 + corr * uM
+        dflux3 = dflux3 + corr * vM
 
     def flux(hh, hhu, hhv):
         inv_h = 1.0 / hh
@@ -277,17 +395,6 @@ def _rhs_blocked(h, hu, hv, ctrl, o: BlockedOps, meta: BlockedMeta):
         G2 = hhu * hhv * inv_h
         G3 = hhv * hhv * inv_h + p
         return hhu, F2, G2, hhv, G2, G3
-
-    F1M, F2M, F3M, G1M, G2M, G3M = flux(hM, huM, hvM)
-    F1P, F2P, F3P, G1P, G2P, G3P = flux(hP, huP, hvP)
-
-    spdM = jnp.sqrt((huM / hM) ** 2 + (hvM / hM) ** 2) + jnp.sqrt(g * hM)
-    spdP = jnp.sqrt((huP / hP) ** 2 + (hvP / hP) ** 2) + jnp.sqrt(g * hP)
-    lam = _face_max(jnp.maximum(spdM, spdP), meta)
-
-    dflux1 = 0.5 * ((F1M - F1P) * o.nx + (G1M - G1P) * o.ny - lam * (hM - hP))
-    dflux2 = 0.5 * ((F2M - F2P) * o.nx + (G2M - G2P) * o.ny - lam * (huM - huP))
-    dflux3 = 0.5 * ((F3M - F3P) * o.nx + (G3M - G3P) * o.ny - lam * (hvM - hvP))
 
     F1, F2, F3, G1, G2, G3 = flux(h, hu, hv)
 
@@ -300,6 +407,19 @@ def _rhs_blocked(h, hu, hv, ctrl, o: BlockedOps, meta: BlockedMeta):
     rhs2 = surf(dflux2) - div(F2, G2)
     rhs3 = surf(dflux3) - div(F3, G3)
 
+    # sources (reference sw2d main.cpp:460-483; v-drag sign corrected)
+    if meta.has_bathy:
+        rhs2 = rhs2 + g * h * o.Hx
+        rhs3 = rhs3 + g * h * o.Hy
+    if meta.cd != 0.0:
+        u, v = hu / h, hv / h
+        nrm = _safe_norm(u, v)
+        rhs2 = rhs2 - meta.cd * nrm * u
+        rhs3 = rhs3 - meta.cd * nrm * v
+    if meta.f_cor != 0.0:
+        rhs2 = rhs2 + meta.f_cor * hv
+        rhs3 = rhs3 - meta.f_cor * hu
+
     if ctrl is not None:
         for c in range(meta.n_ctrl):
             rhs2 = rhs2 + ctrl[c] * o.BU[c]
@@ -307,27 +427,35 @@ def _rhs_blocked(h, hu, hv, ctrl, o: BlockedOps, meta: BlockedMeta):
     return rhs1, rhs2, rhs3
 
 
-def _eval_rhs(h, hu, hv, ctrl, o, meta, use_filter):
-    r1, r2, r3 = _rhs_blocked(h, hu, hv, ctrl, o, meta)
+def _eval_rhs(h, hu, hv, t, ctrl, o, meta, use_filter):
+    r1, r2, r3 = _rhs_blocked(h, hu, hv, t, ctrl, o, meta)
     if use_filter:
         r1, r2, r3 = _mm(o.FILT, r1), _mm(o.FILT, r2), _mm(o.FILT, r3)
     return r1, r2, r3
 
 
-def _step_values(h, hu, hv, ctrl, o, meta, dt, use_filter):
-    """One SSP-RK2 step on transposed padded values."""
-    k1 = _eval_rhs(h, hu, hv, ctrl, o, meta, use_filter)
+def _step_values(h, hu, hv, t, ctrl, o, meta, dt, use_filter):
+    """One SSP-RK2 step (+ sponge relaxation) on transposed padded values.
+    Stage times (t, t+dt/2) match timestepping.ssprk2_step."""
+    k1 = _eval_rhs(h, hu, hv, t, ctrl, o, meta, use_filter)
     h1 = h + 0.5 * dt * k1[0]
     hu1 = hu + 0.5 * dt * k1[1]
     hv1 = hv + 0.5 * dt * k1[2]
-    k2 = _eval_rhs(h1, hu1, hv1, ctrl, o, meta, use_filter)
-    return h + dt * k2[0], hu + dt * k2[1], hv + dt * k2[2]
+    k2 = _eval_rhs(h1, hu1, hv1, t + 0.5 * dt, ctrl, o, meta, use_filter)
+    h, hu, hv = h + dt * k2[0], hu + dt * k2[1], hv + dt * k2[2]
+    if meta.has_sponge:
+        # ops.sw2d.sponge_relax: relax toward rest (h=H, zero momentum)
+        fac = 1.0 / (1.0 + dt * o.SPNG)
+        h = o.H + (h - o.H) * fac
+        hu = hu * fac
+        hv = hv * fac
+    return h, hu, hv
 
 
 _OP_FIELDS = len(BlockedOps._fields)
 
 
-def _step_kernel(meta, dt, use_filter, has_ctrl,
+def _step_kernel(meta, dt, t0, use_filter, has_ctrl,
                  h_ref, hu_ref, hv_ref, *refs):
     if has_ctrl:
         ctrl_ref, *op_refs = refs
@@ -338,7 +466,7 @@ def _step_kernel(meta, dt, use_filter, has_ctrl,
     *ops_list, oh, ohu, ohv = op_refs
     o = BlockedOps(*(r[:] for r in ops_list))
     h2, hu2, hv2 = _step_values(
-        h_ref[0], hu_ref[0], hv_ref[0], ctrl, o, meta, dt, use_filter
+        h_ref[0], hu_ref[0], hv_ref[0], t0, ctrl, o, meta, dt, use_filter
     )
     oh[0] = h2
     ohu[0] = hu2
@@ -346,7 +474,7 @@ def _step_kernel(meta, dt, use_filter, has_ctrl,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("meta", "dt", "use_filter", "interpret")
+    jax.jit, static_argnames=("meta", "dt", "t0", "use_filter", "interpret")
 )
 def sw2d_step_blocked(
     ops: BlockedOps,
@@ -356,6 +484,7 @@ def sw2d_step_blocked(
     hv: jnp.ndarray,
     ctrl: jnp.ndarray | None,  # (B, n_ctrl) or None
     dt: float,
+    t0: float = 0.0,
     use_filter: bool = True,
     interpret: bool = False,
 ):
@@ -375,8 +504,8 @@ def sw2d_step_blocked(
         inputs.append(ctrl)
         in_specs.append(pl.BlockSpec((1, meta.n_ctrl), lambda i: (i, 0),
                                      memory_space=pltpu.SMEM))
-    kernel = functools.partial(_step_kernel, meta, float(dt), use_filter,
-                               has_ctrl)
+    kernel = functools.partial(_step_kernel, meta, float(dt), float(t0),
+                               use_filter, has_ctrl)
     shp = jax.ShapeDtypeStruct((B, NP, Kp), h.dtype)
     return pl.pallas_call(
         kernel,
@@ -388,8 +517,8 @@ def sw2d_step_blocked(
     )(*inputs, *ops)
 
 
-def _rollout_kernel(meta, dt, spc, n_steps, use_filter, has_ctrl, store_traj,
-                    h_ref, hu_ref, hv_ref, *refs):
+def _rollout_kernel(meta, dt, t0, spc, n_steps, use_filter, has_ctrl,
+                    store_traj, h_ref, hu_ref, hv_ref, *refs):
     """Fused rollout: state lives in VMEM scratch across all steps; the
     step-start states are (optionally) DMA'd to an HBM trajectory buffer."""
     if has_ctrl:
@@ -427,8 +556,9 @@ def _rollout_kernel(meta, dt, spc, n_steps, use_filter, has_ctrl, store_traj,
             ctrl = [ctrl_ref[0, j, c] for c in range(meta.n_ctrl)]
         else:
             ctrl = None
+        tt = t0 + t.astype(h_s.dtype) * dt
         h2, hu2, hv2 = _step_values(
-            h_s[:], hu_s[:], hv_s[:], ctrl, o, meta, dt, use_filter
+            h_s[:], hu_s[:], hv_s[:], tt, ctrl, o, meta, dt, use_filter
         )
         if store_traj:
             for d in dmas(t):
@@ -451,7 +581,7 @@ def _rollout_kernel(meta, dt, spc, n_steps, use_filter, has_ctrl, store_traj,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("meta", "dt", "spc", "n_steps", "use_filter",
+    static_argnames=("meta", "dt", "t0", "spc", "n_steps", "use_filter",
                      "store_traj", "interpret"),
 )
 def sw2d_rollout_blocked(
@@ -464,6 +594,7 @@ def sw2d_rollout_blocked(
     dt: float,
     spc: int = 1,  # RK steps per control step
     n_steps: int | None = None,  # required when ctrls is None
+    t0: float = 0.0,
     use_filter: bool = True,
     store_traj: bool = False,
     interpret: bool = False,
@@ -504,8 +635,8 @@ def sw2d_rollout_blocked(
         scratch = scratch + [pltpu.SemaphoreType.DMA((3,))]
 
     kernel = functools.partial(
-        _rollout_kernel, meta, float(dt), spc, n_steps, use_filter,
-        has_ctrl, store_traj,
+        _rollout_kernel, meta, float(dt), float(t0), spc, n_steps,
+        use_filter, has_ctrl, store_traj,
     )
     out = pl.pallas_call(
         kernel,

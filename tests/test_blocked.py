@@ -155,3 +155,92 @@ def test_blocked_rollout_control_forcing():
         np.testing.assert_allclose(
             np.asarray(unpack_state(meta, got)[0]), np.asarray(want),
             atol=1e-12)
+
+
+def test_blocked_full_coastal_matches_xla():
+    """The FULL coastal configuration in the blocked kernel — variable
+    bathymetry with hydrostatic-reconstruction well-balancing (precomputed
+    H traces), tidal BC_OUT forcing (in-kernel cos(omega t) with ramp),
+    quadratic drag, Coriolis, sponge relaxation — against the XLA path
+    (sw2d_rhs + sponge_relax) over 3 SSP-RK2 steps, f64 interpret mode."""
+    from blitzdg_tpu.context import BC_OUT
+    from blitzdg_tpu.ops.sw2d import sponge_relax
+    from blitzdg_tpu.utils import build_sponge_coefficient
+
+    mesh = box_triangles(4, 4, xlim=(0.0, 1.0), ylim=(0.0, 1.0))
+    # tag the east boundary open (tidal)
+    bc = np.asarray(mesh.bc_type).copy()
+    mids = mesh.verts[mesh.etov].mean(axis=1)
+    for k in range(mesh.num_elements):
+        for f in range(3):
+            a, b = mesh.etov[k, f], mesh.etov[k, (f + 1) % 3]
+            mx = 0.5 * (mesh.verts[a, 0] + mesh.verts[b, 0])
+            if bc[k, f] > 0 and abs(mx - 1.0) < 1e-12:
+                bc[k, f] = BC_OUT
+    mesh.set_bc_type(bc)
+    ctx = build_triangle_context(2, mesh)
+
+    # sloping discontinuous-ish bathymetry + sponge near the open boundary
+    H = 10.0 + 5.0 * ctx.x + 2.0 * jnp.sin(3.0 * ctx.y)
+    Hx = 5.0 * jnp.ones_like(H)
+    Hy = 6.0 * jnp.cos(3.0 * ctx.y)
+    ob_mask = np.asarray(ctx.bc_table)[:, :, None].repeat(
+        ctx.n_fp, 2).reshape(ctx.k_elem, -1) == BC_OUT
+    sponge = build_sponge_coefficient(ctx, ob_mask, width=0.3, strength=0.5)
+    phys = SWPhysics(g=9.81, cd=2.5e-3, f_cor=1e-4, H=H, Hx=Hx, Hy=Hy,
+                     sponge=sponge)
+
+    h0_tide, amp, omega, ramp_tau = 12.0, 0.5, 2.0, 10.0
+
+    def tidal_forcing(t):
+        return h0_tide + amp * jnp.cos(omega * t) * jnp.minimum(
+            t / ramp_tau, 1.0)
+
+    # initial state: at rest + a bump (so drag/Coriolis/walls all fire)
+    h = H + 0.3 * jnp.exp(-20.0 * ((ctx.x - 0.5) ** 2 + (ctx.y - 0.5) ** 2))
+    state = SWState(h=h, hu=0.1 * h, hv=-0.05 * h)
+
+    dt, n_steps, t0 = 2e-3, 3, 1.0
+    rhs = lambda s, t: sw2d_rhs(ctx, s, t, phys, tidal_forcing=tidal_forcing)
+    post = lambda f: apply_filter(ctx, f)
+    cur, t = state, t0
+    for _ in range(n_steps):
+        cur = ssprk2_step(rhs, cur, t, dt, post_stage=post)
+        cur = sponge_relax(cur, phys, dt)
+        t += dt
+
+    ops, meta = build_blocked_step_ops(
+        ctx, phys, dtype=jnp.float64,
+        tidal=(h0_tide, amp, omega, ramp_tau))
+    assert meta.wb and meta.has_bathy and meta.has_sponge
+    packed = [pack_state(meta, f[None]) for f in state]
+    out = sw2d_rollout_blocked(ops, meta, *packed, None, dt,
+                               n_steps=n_steps, t0=t0, interpret=True)
+    for got, want in zip(out, cur):
+        np.testing.assert_allclose(
+            np.asarray(unpack_state(meta, got)[0]), np.asarray(want),
+            atol=1e-12)
+
+
+def test_blocked_lake_at_rest_well_balanced():
+    """Machine-zero RHS at a lake at rest over a steep LINEAR shelf — the
+    well-balancing property must survive the blocked-kernel formulation.
+    (Linear H: at order N>=2 the hydrostatic pressure g/2 h^2 is exactly
+    representable, so the flux divergence cancels the bed-slope source
+    discretely; the same restriction applies to the XLA path.)"""
+    ctx = build_triangle_context(2, box_triangles(3, 3))
+    H = 10.0 + 4.0 * ctx.x + 2.0 * ctx.y
+    Hx = 4.0 * jnp.ones_like(H)
+    Hy = 2.0 * jnp.ones_like(H)
+    phys = SWPhysics(g=9.81, H=H, Hx=Hx, Hy=Hy)
+    ops, meta = build_blocked_step_ops(ctx, phys, dtype=jnp.float64)
+
+    state = SWState(h=H, hu=jnp.zeros_like(H), hv=jnp.zeros_like(H))
+    packed = [pack_state(meta, f[None]) for f in state]
+    dt = 1e-3
+    out = sw2d_step_blocked(ops, meta, *packed, None, dt, interpret=True)
+    # after one step the state is unchanged to machine precision
+    for got, want in zip(out, state):
+        diff = np.abs(np.asarray(unpack_state(meta, got)[0])
+                      - np.asarray(want)).max()
+        assert diff < 1e-11, diff
