@@ -255,6 +255,26 @@ def unpack_state(meta: BlockedMeta, f: jnp.ndarray) -> jnp.ndarray:
     return jnp.swapaxes(f[..., : meta.n_p, : meta.k_elem], -1, -2)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _roll(x, shift, axis):
+    """pltpu.roll with an AD rule (the TPU primitive has none): roll is
+    linear, its transpose is the inverse roll — this is what lets
+    `jax.vjp` trace straight through the kernel's values functions in the
+    backward rollout kernel."""
+    return pltpu.roll(x, shift, axis=axis)
+
+
+def _roll_fwd(x, shift, axis):
+    return _roll(x, shift, axis), None
+
+
+def _roll_bwd(shift, axis, _, g):
+    return (_roll(g, (-shift) % g.shape[axis], axis),)
+
+
+_roll.defvjp(_roll_fwd, _roll_bwd)
+
+
 def _mm(a, b):
     # full-precision MXU passes (see sw2d_pallas._mm / config.dg_op);
     # accumulate in the operand dtype (f32 on hardware, f64 in the
@@ -276,7 +296,7 @@ def _plus_trace(fM, o, meta: BlockedMeta):
                 [fM[base + i:base + i + 1, :]
                  for i in range(n_fp - 1, -1, -1)], axis=0)
         if shift:
-            block = pltpu.roll(block, shift, axis=1)
+            block = _roll(block, shift, 1)
         acc[f] = acc[f] + o.cmask[ci:ci + 1, :] * block
     pad_rows = NT - meta.n_faces * n_fp
     if pad_rows:
@@ -648,3 +668,174 @@ def sw2d_rollout_blocked(
         interpret=interpret,
     )(*inputs, *ops)
     return out
+
+
+def _rollout_bwd_kernel(meta, dt, t0, spc, n_steps, use_filter,
+                        ctrl_ref, *refs):
+    """Reverse sweep for the blocked rollout: for each step t (T-1 .. 0)
+    the stored step-start state is DMA'd back in and the adjoint state is
+    propagated through `jax.vjp` of the SAME `_step_values` used forward —
+    every primitive in the values function is differentiable (the lane
+    rolls carry a custom transpose), so the pullback is traced right inside
+    the kernel instead of being hand-derived. Rematerialization happens in
+    VMEM; stored-trajectory cotangents are injected as they appear."""
+    ops_list = refs[:_OP_FIELDS]
+    traj_h, traj_hu, traj_hv, tb_h, tb_hu, tb_hv = refs[_OP_FIELDS:_OP_FIELDS + 6]
+    xb_h, xb_hu, xb_hv, cb_ref = refs[_OP_FIELDS + 6:_OP_FIELDS + 10]
+    (l_h, l_hu, l_hv, s_h, s_hu, s_hv, g_h, g_hu, g_hv, sem) = \
+        refs[_OP_FIELDS + 10:]
+    o = BlockedOps(*(r[:] for r in ops_list))
+    b = pl.program_id(0)
+
+    for r in (l_h, l_hu, l_hv):
+        r[:] = jnp.zeros_like(r)
+    cb_ref[:] = jnp.zeros_like(cb_ref)
+
+    def load(t):
+        copies = [
+            pltpu.make_async_copy(src.at[b, t], dst, sem.at[i])
+            for i, (src, dst) in enumerate(
+                ((traj_h, s_h), (traj_hu, s_hu), (traj_hv, s_hv)))
+        ] + [
+            pltpu.make_async_copy(src.at[b, t + 1], dst, sem.at[3 + i])
+            for i, (src, dst) in enumerate(
+                ((tb_h, g_h), (tb_hu, g_hu), (tb_hv, g_hv)))
+        ]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+    def body(i, _):
+        t = n_steps - 1 - i
+        load(t)
+        j = t // spc
+        ctrl = tuple(ctrl_ref[0, j, c] for c in range(meta.n_ctrl))
+        tt = t0 + t.astype(s_h.dtype) * dt
+
+        lh = l_h[:] + g_h[:]
+        lhu = l_hu[:] + g_hu[:]
+        lhv = l_hv[:] + g_hv[:]
+
+        def step_fn(hh, hhu, hhv, cc):
+            return _step_values(hh, hhu, hhv, tt, list(cc), o, meta, dt,
+                                use_filter)
+
+        _, pullback = jax.vjp(step_fn, s_h[:], s_hu[:], s_hv[:], ctrl)
+        hb, hub, hvb, cb = pullback((lh, lhu, lhv))
+        l_h[:] = hb
+        l_hu[:] = hub
+        l_hv[:] = hvb
+        for c in range(meta.n_ctrl):
+            cb_ref[0, j, c] = cb_ref[0, j, c] + cb[c]
+        return 0
+
+    jax.lax.fori_loop(0, n_steps, body, 0)
+
+    # initial-state adjoint: lambda + cotangent of the stored initial state
+    copies = [
+        pltpu.make_async_copy(src.at[b, 0], dst, sem.at[i])
+        for i, (src, dst) in enumerate(
+            ((tb_h, g_h), (tb_hu, g_hu), (tb_hv, g_hv)))
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+    xb_h[0] = l_h[:] + g_h[:]
+    xb_hu[0] = l_hu[:] + g_hu[:]
+    xb_hv[0] = l_hv[:] + g_hv[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("meta", "dt", "t0", "spc", "use_filter", "interpret"),
+)
+def sw2d_rollout_bwd_blocked(
+    ops: BlockedOps,
+    meta: BlockedMeta,
+    traj_h: jnp.ndarray,  # (B, n_steps+1, NP, Kp) stored forward trajectory
+    traj_hu: jnp.ndarray,
+    traj_hv: jnp.ndarray,
+    tb_h: jnp.ndarray,  # cotangents of the stored trajectory
+    tb_hu: jnp.ndarray,
+    tb_hv: jnp.ndarray,
+    ctrls: jnp.ndarray,  # (B, n_ctrl_steps, n_ctrl)
+    dt: float,
+    spc: int,
+    t0: float = 0.0,
+    use_filter: bool = True,
+    interpret: bool = False,
+):
+    B, n_steps_p1, NP, Kp = traj_h.shape
+    n_steps = n_steps_p1 - 1
+    n_ctrl_steps = ctrls.shape[1]
+
+    state_spec = pl.BlockSpec((1, NP, Kp), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    ctrl_spec = pl.BlockSpec((1, n_ctrl_steps, meta.n_ctrl),
+                             lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    op_specs = [
+        pl.BlockSpec(op.shape, lambda i, nd=op.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for op in ops
+    ]
+
+    kernel = functools.partial(
+        _rollout_bwd_kernel, meta, float(dt), float(t0), spc, n_steps,
+        use_filter,
+    )
+    shp = jax.ShapeDtypeStruct((B, NP, Kp), traj_h.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[ctrl_spec, *op_specs] + [any_spec] * 6,
+        out_specs=(state_spec, state_spec, state_spec,
+                   pl.BlockSpec((1, n_ctrl_steps, meta.n_ctrl),
+                                lambda i: (i, 0, 0),
+                                memory_space=pltpu.SMEM)),
+        out_shape=(shp, shp, shp,
+                   jax.ShapeDtypeStruct((B, n_ctrl_steps, meta.n_ctrl),
+                                        ctrls.dtype)),
+        scratch_shapes=[pltpu.VMEM((NP, Kp), traj_h.dtype)] * 9
+        + [pltpu.SemaphoreType.DMA((6,))],
+        interpret=interpret,
+    )(ctrls, *ops, traj_h, traj_hu, traj_hv, tb_h, tb_hu, tb_hv)
+
+
+def make_rollout_blocked(
+    ops: BlockedOps,
+    meta: BlockedMeta,
+    dt: float,
+    spc: int,
+    t0: float = 0.0,
+    use_filter: bool = True,
+    interpret: bool = False,
+):
+    """Differentiable fused blocked rollout: rollout(h, hu, hv, ctrls) ->
+    (traj_h, traj_hu, traj_hv) of step-start states (B, n_steps+1, NP, Kp),
+    with a custom VJP whose backward pass is the jax.vjp-in-kernel adjoint
+    (sw2d_rollout_bwd_blocked). The large-mesh twin of
+    sw2d_pallas.make_rollout."""
+
+    @jax.custom_vjp
+    def rollout(h, hu, hv, ctrls):
+        out = sw2d_rollout_blocked(
+            ops, meta, h, hu, hv, ctrls, dt, spc=spc, t0=t0,
+            use_filter=use_filter, store_traj=True, interpret=interpret)
+        return out[0], out[1], out[2]
+
+    def fwd(h, hu, hv, ctrls):
+        traj = rollout(h, hu, hv, ctrls)
+        return traj, (traj, ctrls)
+
+    def bwd(res, tbar):
+        (th, thu, thv), ctrls = res
+        tbh, tbhu, tbhv = tbar
+        return sw2d_rollout_bwd_blocked(
+            ops, meta, th, thu, thv, tbh, tbhu, tbhv, ctrls, dt, spc,
+            t0, use_filter, interpret)
+
+    rollout.defvjp(fwd, bwd)
+    return rollout
