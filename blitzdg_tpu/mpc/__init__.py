@@ -1,3 +1,9 @@
+from .blocked import (
+    BlockedMPC,
+    build_blocked_mpc,
+    mpc_cost_blocked,
+    solve_mpc_blocked,
+)
 from .pallas import PallasMPC, build_pallas_mpc, mpc_cost_pallas, solve_mpc_pallas
 from .problem import MPCProblem, mpc_cost, rollout_controls
 from .solver import MPCSolution, receding_horizon, solve_mpc
@@ -13,4 +19,8 @@ __all__ = [
     "build_pallas_mpc",
     "mpc_cost_pallas",
     "solve_mpc_pallas",
+    "BlockedMPC",
+    "build_blocked_mpc",
+    "mpc_cost_blocked",
+    "solve_mpc_blocked",
 ]
