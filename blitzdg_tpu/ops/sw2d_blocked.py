@@ -74,6 +74,9 @@ class BlockedOps(NamedTuple):
     vmask: jnp.ndarray  # (NP, Kp) 1.0 at valid volume nodes
     tmask: jnp.ndarray  # (NT, Kp) 1.0 at valid trace nodes
     cmask: jnp.ndarray  # (C_pad, Kp) per-combo target-lane masks
+    # one-hot trace-exchange mode (meta.trace_mode == 'onehot'):
+    PH: jnp.ndarray  # (n_blocks, WIN, n_faces*128) banded one-hot gathers
+    fsel: jnp.ndarray  # (n_faces*n_faces*2, Kp) neighbor-face/flip masks
     obc: jnp.ndarray  # (NT, Kp) BC_OUT mask (tidal open boundary)
     H: jnp.ndarray  # (NP, Kp) still-water depth (1.0 when absent/pad)
     Hx: jnp.ndarray  # (NP, Kp) bed slopes (0 when absent)
@@ -105,6 +108,13 @@ class BlockedMeta(NamedTuple):
     tidal: tuple | None
     # static combo table: ((target_face, lane_shift, src_face, flip), ...)
     combos: tuple
+    # trace-exchange strategy: 'rolls' (static lane rolls per combo — O(10)
+    # combos on structured meshes) or 'onehot' (banded one-hot MXU matmuls
+    # per 128-lane block — O(K/128) matmuls regardless of combo count; the
+    # unstructured-mesh mode, pair with parallel.partition.rcm_order)
+    trace_mode: str = "rolls"
+    win: int = 0  # one-hot source-window width (lanes)
+    block_starts: tuple = ()  # per-block static window starts
 
 
 def build_blocked_step_ops(
@@ -115,11 +125,14 @@ def build_blocked_step_ops(
     dtype=jnp.float32,
     max_combos: int = 2048,
     tidal: tuple | None = None,  # (h0, amp, omega, ramp_tau) BC_OUT forcing
+    trace_mode: str = "auto",  # 'rolls' | 'onehot' | 'auto'
 ) -> tuple[BlockedOps, BlockedMeta]:
     """Freeze the blocked operator set (host-side, once at setup).
 
-    Raises if the mesh's trace exchange needs more than ``max_combos``
-    distinct roll patterns — reorder with `rcm_order` first.
+    ``trace_mode='auto'`` picks lane rolls when the mesh needs few distinct
+    roll combos (structured meshes) and the banded one-hot MXU gather
+    otherwise (unstructured meshes — reorder with `rcm_order` first to
+    bound the band). Raises if rolls mode is forced past ``max_combos``.
     """
     K, n_p = ctx.k_elem, ctx.n_p
     n_fp, n_faces = ctx.n_fp, ctx.n_faces
@@ -146,15 +159,56 @@ def build_blocked_step_ops(
                 masks.append(np.zeros(Kp))
             masks[ci][k] = 1.0
     n_combos = len(combo_ids)
-    if n_combos > max_combos:
+    if trace_mode == "auto":
+        trace_mode = "rolls" if n_combos <= 48 else "onehot"
+    if trace_mode == "rolls" and n_combos > max_combos:
         raise ValueError(
             f"trace exchange needs {n_combos} roll combos (> {max_combos}); "
-            "reorder elements with parallel.partition.rcm_order first"
+            "reorder elements with parallel.partition.rcm_order first, or "
+            "use trace_mode='onehot'"
         )
-    C_pad = _pad(max(n_combos, 1), SUB)
-    cmask = np.zeros((C_pad, Kp))
-    cmask[:n_combos] = np.stack(masks) if masks else 0.0
-    combos = tuple(combo_ids.keys())
+
+    nbr_elem = face_nbr // n_faces  # (K, n_faces)
+    nbr_face = face_nbr % n_faces
+    win = 0
+    block_starts: tuple = ()
+    n_blocks = Kp // LANE
+    if trace_mode == "rolls":
+        C_pad = _pad(max(n_combos, 1), SUB)
+        cmask = np.zeros((C_pad, Kp))
+        cmask[:n_combos] = np.stack(masks) if masks else 0.0
+        combos = tuple(combo_ids.keys())
+        PH = np.zeros((1, 1, 1))
+        fsel = np.zeros((1, 1))
+    else:
+        combos = ()
+        cmask = np.zeros((SUB, Kp))
+        # per-128-lane-block source windows (aligned to 128)
+        starts, ends = [], []
+        for b in range(n_blocks):
+            lanes = np.arange(b * LANE, min((b + 1) * LANE, K))
+            if lanes.size == 0:
+                starts.append(0)
+                ends.append(LANE)
+                continue
+            src = nbr_elem[lanes, :]
+            starts.append((int(src.min()) // LANE) * LANE)
+            ends.append(int(src.max()) + 1)
+        win = max(_pad(e - s0, LANE) for s0, e in zip(starts, ends))
+        block_starts = tuple(min(s0, max(Kp - win, 0)) for s0 in starts)
+        PH = np.zeros((n_blocks, win, n_faces * LANE))
+        for b, s0 in enumerate(block_starts):
+            for f in range(n_faces):
+                lanes = np.arange(b * LANE, min((b + 1) * LANE, K))
+                j = nbr_elem[lanes, f] - s0
+                assert (j >= 0).all() and (j < win).all()
+                PH[b, j, f * LANE + (lanes - b * LANE)] = 1.0
+        fsel = np.zeros((n_faces * n_faces * 2, Kp))
+        for f in range(n_faces):
+            for k in range(K):
+                f2 = int(nbr_face[k, f])
+                fl = int(bool(face_flip[k, f]))
+                fsel[(f * n_faces + f2) * 2 + fl, k] = 1.0
 
     def padm(a, rows, cols):
         out = np.zeros((rows, cols))
@@ -228,6 +282,7 @@ def build_blocked_step_ops(
         fscale=to(padT(ctx.fscale, NT)),
         wall=to(padT(wall, NT)),
         vmask=to(vmask), tmask=to(tmask), cmask=to(cmask),
+        PH=to(PH), fsel=to(fsel),
         obc=to(padT(obc, NT)),
         H=to(Hpk), Hx=to(Hxp), Hy=to(Hyp), SPNG=to(SPNG),
         HMt=to(HMt), HPt=to(HPt),
@@ -240,6 +295,7 @@ def build_blocked_step_ops(
         has_bathy=has_bathy, has_sponge=has_sponge,
         tidal=tuple(float(v) for v in tidal) if tidal is not None else None,
         combos=combos,
+        trace_mode=trace_mode, win=win, block_starts=block_starts,
     )
     return ops, meta
 
@@ -284,7 +340,10 @@ def _mm(a, b):
 
 
 def _plus_trace(fM, o, meta: BlockedMeta):
-    """'+' trace from the '-' trace by static lane rolls + masked adds."""
+    """'+' trace from the '-' trace: static lane rolls + masked adds
+    ('rolls' mode) or banded one-hot MXU gathers ('onehot' mode)."""
+    if meta.trace_mode == "onehot":
+        return _plus_trace_onehot(fM, o, meta)
     n_fp, NT, Kp = meta.n_fp, meta.NT, meta.Kp
     acc = [jnp.zeros((n_fp, Kp), fM.dtype) for _ in range(meta.n_faces)]
     for ci, (f, shift, f2, flip) in enumerate(meta.combos):
@@ -299,6 +358,42 @@ def _plus_trace(fM, o, meta: BlockedMeta):
             block = _roll(block, shift, 1)
         acc[f] = acc[f] + o.cmask[ci:ci + 1, :] * block
     pad_rows = NT - meta.n_faces * n_fp
+    if pad_rows:
+        acc.append(jnp.zeros((pad_rows, Kp), fM.dtype))
+    return jnp.concatenate(acc, axis=0)
+
+
+def _plus_trace_onehot(fM, o, meta: BlockedMeta):
+    """'+' trace via banded one-hot matmuls: per 128-lane block b, ONE MXU
+    matmul (NT, WIN) @ (WIN, n_faces*128) gathers, for every local face f,
+    the neighbor-element columns of all trace rows; per-lane neighbor-face
+    and flip selection then picks the right rows. O(K/128) matmuls total,
+    independent of how irregular the neighbor offsets are — the
+    unstructured-mesh mode (elements should be RCM-ordered so the band,
+    and with it WIN, stays ~sqrt(K))."""
+    n_fp, n_faces = meta.n_fp, meta.n_faces
+    NT, Kp, win = meta.NT, meta.Kp, meta.win
+
+    gathered = [
+        _mm(fM[:, s0:s0 + win], o.PH[b])  # (NT, n_faces*128)
+        for b, s0 in enumerate(meta.block_starts)
+    ]
+    acc = []
+    for f in range(n_faces):
+        A = jnp.concatenate(
+            [g[:, f * LANE:(f + 1) * LANE] for g in gathered], axis=1)
+        accf = jnp.zeros((n_fp, Kp), fM.dtype)
+        for f2 in range(n_faces):
+            base = f2 * n_fp
+            rows_f = A[base:base + n_fp, :]
+            rows_r = jnp.concatenate(
+                [A[base + i:base + i + 1, :]
+                 for i in range(n_fp - 1, -1, -1)], axis=0)
+            idx = (f * n_faces + f2) * 2
+            accf = accf + o.fsel[idx:idx + 1, :] * rows_f
+            accf = accf + o.fsel[idx + 1:idx + 2, :] * rows_r
+        acc.append(accf)
+    pad_rows = NT - n_faces * n_fp
     if pad_rows:
         acc.append(jnp.zeros((pad_rows, Kp), fM.dtype))
     return jnp.concatenate(acc, axis=0)

@@ -66,8 +66,10 @@ def test_blocked_step_unstructured_rcm():
     mesh, _ = rcm_order(read_gmsh("/root/reference/input/box.msh"))
     ctx = build_triangle_context(1, mesh)
     phys = SWPhysics(g=9.81)
-    ops, meta = build_blocked_step_ops(ctx, phys, dtype=jnp.float64)
-    assert len(meta.combos) < 700  # RCM bounds the bandwidth
+    ops, meta = build_blocked_step_ops(ctx, phys, dtype=jnp.float64,
+                                       trace_mode="rolls")
+    assert meta.trace_mode == "rolls"
+    assert 0 < len(meta.combos) < 700  # RCM bounds the bandwidth
 
     state = _initial(ctx)
     ref = sw2d_rhs(ctx, state, 0.0, phys)
@@ -310,3 +312,73 @@ def test_blocked_rollout_adjoint_matches_xla_grad():
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(gr), atol=1e-10,
             err_msg=f"grad mismatch: {name}")
+
+
+def test_blocked_onehot_trace_mode_unstructured():
+    """'onehot' trace-exchange mode (banded one-hot MXU gathers) on the
+    RCM-ordered unstructured box.msh: a fused step matches the XLA path to
+    f64 roundoff, same as rolls mode — and 'auto' picks it here (613 roll
+    combos is past the rolls threshold)."""
+    from blitzdg_tpu.parallel.partition import rcm_order
+
+    mesh, _ = rcm_order(read_gmsh("/root/reference/input/box.msh"))
+    ctx = build_triangle_context(1, mesh)
+    phys = SWPhysics(g=9.81)
+    ops, meta = build_blocked_step_ops(ctx, phys, dtype=jnp.float64)
+    assert meta.trace_mode == "onehot"  # auto-selected
+    assert meta.win <= 512  # RCM keeps the band ~sqrt(K)
+
+    state = _initial(ctx)
+    dt = 1e-4
+    want = _xla_step(ctx, state, phys, dt)
+    packed = [pack_state(meta, f[None]) for f in state]
+    out = sw2d_step_blocked(ops, meta, *packed, None, dt, interpret=True)
+    for got, w in zip(out, want):
+        np.testing.assert_allclose(
+            np.asarray(unpack_state(meta, got)[0]), np.asarray(w),
+            atol=1e-12)
+
+
+def test_blocked_onehot_adjoint():
+    """jax.vjp-in-kernel adjoint works in onehot mode too (the gathers are
+    plain matmuls — nothing needs a custom transpose)."""
+    from blitzdg_tpu.ops.sw2d_blocked import make_rollout_blocked
+
+    ctx = build_triangle_context(1, box_triangles(4, 4))
+    phys = SWPhysics(g=9.81)
+    bump = np.exp(-8.0 * (np.asarray(ctx.x) ** 2 + np.asarray(ctx.y) ** 2))
+    ops, meta = build_blocked_step_ops(
+        ctx, phys, np.stack([bump]), np.stack([0 * bump]),
+        dtype=jnp.float64, trace_mode="onehot")
+    assert meta.trace_mode == "onehot"
+
+    dt, spc = 1e-3, 2
+    state = _initial(ctx)
+    ctrls = jnp.asarray([[[0.25]]], dtype=jnp.float64)  # (1, 1, 1)
+
+    def xla_rhs(c):
+        def rhs(s, t):
+            r = sw2d_rhs(ctx, s, t, phys)
+            r = SWState(h=r.h, hu=r.hu + c[0] * jnp.asarray(bump), hv=r.hv)
+            return SWState(*(apply_filter(ctx, f) for f in r))
+        return rhs
+
+    def xla_loss(h0, cs):
+        s = SWState(h=h0, hu=state.hu, hv=state.hv)
+        for _ in range(spc):
+            s = ssprk2_step(xla_rhs(cs[0, 0]), s, 0.0, dt)
+        return jnp.sum(s.h**2)
+
+    ref_gh, ref_gc = jax.grad(xla_loss, argnums=(0, 1))(state.h, ctrls)
+
+    rollout = make_rollout_blocked(ops, meta, dt, spc, interpret=True)
+
+    def blk_loss(h0, cs):
+        packed = [pack_state(meta, f[None])
+                  for f in (h0, state.hu, state.hv)]
+        th, _, _ = rollout(*packed, cs)
+        return jnp.sum(th[:, -1] ** 2)
+
+    gh, gc = jax.grad(blk_loss, argnums=(0, 1))(state.h, ctrls)
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(ref_gh), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(ref_gc), atol=1e-10)
