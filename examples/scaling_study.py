@@ -1,0 +1,105 @@
+"""Element-sharding scaling study (BASELINE.md target: >=80% efficiency).
+
+Strong scaling of the ppermute-halo shallow-water stepping over an
+n-device element-sharded mesh: the SAME shard_map program runs at every
+device count; only the Mesh changes.
+
+On real hardware:
+ - single host, n chips: just run this script (jax.devices() sees them).
+ - multiple hosts: launch one process per host with
+     from blitzdg_tpu.parallel import distributed_init
+     distributed_init(coordinator, n_hosts, host_id)
+   before main() — the element axis stays within hosts (ICI), scenarios
+   across hosts (DCN); see parallel/distributed.py for the full recipe.
+
+Without TPUs this runs on virtual CPU devices
+(XLA_FLAGS=--xla_force_host_platform_device_count=8): the printed
+efficiencies are then only a plumbing check (virtual devices share one
+CPU's FLOPs), but the measurement procedure is exactly the pod one.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from blitzdg_tpu.mesh import box_triangles
+from blitzdg_tpu.ops.sw2d import SWPhysics, SWState, sw2d_rhs
+from blitzdg_tpu.parallel import (
+    build_halo_plan,
+    context_shard_specs,
+    halo_sw2d_rhs,
+    halo_tables,
+    partition_mesh,
+)
+from blitzdg_tpu.specgrid.triangle import build_triangle_context
+from blitzdg_tpu.timestepping import ssprk2_step
+
+N_ORDER = 3
+CELLS = 32  # K = 2048
+N_STEPS = 100
+DT = 1e-4
+
+
+def run_sharded(mesh0, n_dev, devices):
+    mesh2, _, _ = partition_mesh(mesh0, n_dev)
+    ctx = build_triangle_context(N_ORDER, mesh2, dtype=jnp.float32)
+    plan = build_halo_plan(ctx, n_dev)
+    tables = halo_tables(plan)
+    el_mesh = Mesh(np.array(devices[:n_dev]), ("element",))
+    phys = SWPhysics(g=9.81)
+
+    h = 10.0 + jnp.exp(-10.0 * (ctx.x**2 + ctx.y**2))
+    state = SWState(h=h, hu=jnp.zeros_like(h), hv=jnp.zeros_like(h))
+
+    specs = context_shard_specs(ctx)
+    st_specs = jax.tree.map(lambda a: P("element", None), state)
+    tb_specs = tuple(P("element", *([None] * (a.ndim - 1))) for a in tables)
+
+    def roll(c, s, tb):
+        def body(s, _):
+            rhs = lambda ss, t: halo_sw2d_rhs(c, ss, t, phys, tb, plan)
+            return ssprk2_step(rhs, s, 0.0, DT), None
+        s, _ = jax.lax.scan(body, s, None, length=N_STEPS)
+        return s
+
+    fn = jax.jit(jax.shard_map(
+        roll, mesh=el_mesh, in_specs=(specs, st_specs, tb_specs),
+        out_specs=st_specs))
+    out = fn(ctx, state, tables)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = fn(ctx, state, tables)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps / N_STEPS
+
+
+def main():
+    devices = jax.devices()
+    counts = [n for n in (1, 2, 4, 8) if n <= len(devices)]
+    mesh0 = box_triangles(CELLS, CELLS)
+    print(f"strong scaling, K={2 * CELLS * CELLS} triangles, N={N_ORDER}, "
+          f"{N_STEPS} SSP-RK2 steps, platform={devices[0].platform}")
+    t1 = None
+    for n in counts:
+        t = run_sharded(mesh0, n, devices)
+        if t1 is None:
+            t1 = t
+        eff = t1 / (n * t)
+        print(f"  devices={n}: {t * 1e6:8.1f} us/step   "
+              f"speedup x{t1 / t:5.2f}   efficiency {eff * 100:5.1f}%")
+    if devices[0].platform == "cpu":
+        print("NOTE: virtual CPU devices share one machine's FLOPs — "
+              "efficiencies here validate the plumbing, not the hardware; "
+              "run on a pod slice for the real numbers.")
+
+
+if __name__ == "__main__":
+    main()

@@ -382,3 +382,26 @@ def test_blocked_onehot_adjoint():
     gh, gc = jax.grad(blk_loss, argnums=(0, 1))(state.h, ctrls)
     np.testing.assert_allclose(np.asarray(gh), np.asarray(ref_gh), atol=1e-10)
     np.testing.assert_allclose(np.asarray(gc), np.asarray(ref_gc), atol=1e-10)
+
+
+def test_blocked_step_quads():
+    """The blocked kernel is element-shape agnostic: a quad context
+    (4 faces, tensor-product nodes) runs through the same roll-combo trace
+    exchange and matches the XLA path to f64 roundoff."""
+    from blitzdg_tpu.mesh import box_quads
+    from blitzdg_tpu.specgrid.quad import build_quad_context
+
+    ctx = build_quad_context(2, box_quads(4, 3))
+    phys = SWPhysics(g=9.81)
+    ops, meta = build_blocked_step_ops(ctx, phys, dtype=jnp.float64)
+
+    h = 10.0 + jnp.exp(-10.0 * (ctx.x**2 + ctx.y**2))
+    state = SWState(h=h, hu=0.2 * h, hv=-0.1 * h)
+    dt = 1e-3
+    want = _xla_step(ctx, state, phys, dt)
+    packed = [pack_state(meta, f[None]) for f in state]
+    out = sw2d_step_blocked(ops, meta, *packed, None, dt, interpret=True)
+    for got, w in zip(out, want):
+        np.testing.assert_allclose(
+            np.asarray(unpack_state(meta, got)[0]), np.asarray(w),
+            atol=1e-12)
