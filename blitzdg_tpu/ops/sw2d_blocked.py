@@ -434,9 +434,12 @@ def _rhs_blocked(h, hu, hv, t, ctrl, o: BlockedOps, meta: BlockedMeta):
     hu = hu * o.vmask
     hv = hv * o.vmask
 
-    hM = _mm(o.EM, h)
-    huM = _mm(o.EM, hu)
-    hvM = _mm(o.EM, hv)
+    # one stacked MXU call instead of three (block-column matmuls are
+    # bitwise the same dot products; the win is call count — at B=1 the
+    # step is matmul-launch-bound)
+    Kp = meta.Kp
+    tM = _mm(o.EM, jnp.concatenate([h, hu, hv], axis=1))
+    hM, huM, hvM = tM[:, :Kp], tM[:, Kp:2 * Kp], tM[:, 2 * Kp:]
     hP = _plus_trace(hM, o, meta)
     huP = _plus_trace(huM, o, meta)
     hvP = _plus_trace(hvM, o, meta)
@@ -513,14 +516,21 @@ def _rhs_blocked(h, hu, hv, t, ctrl, o: BlockedOps, meta: BlockedMeta):
 
     F1, F2, F3, G1, G2, G3 = flux(h, hu, hv)
 
-    def div(F, G):
-        return (o.rx * _mm(o.Dr, F) + o.sx * _mm(o.Ds, F)
-                + o.ry * _mm(o.Dr, G) + o.sy * _mm(o.Ds, G))
+    # 12 derivative matmuls -> 2 stacked ones; 3 lifts -> 1
+    FG = jnp.concatenate([F1, F2, F3, G1, G2, G3], axis=1)
+    FGr = _mm(o.Dr, FG)
+    FGs = _mm(o.Ds, FG)
+    cut = lambda a, i: a[:, i * Kp:(i + 1) * Kp]
 
-    surf = lambda d: _mm(o.LIFT, o.fscale * d)
-    rhs1 = surf(dflux1) - div(F1, G1)
-    rhs2 = surf(dflux2) - div(F2, G2)
-    rhs3 = surf(dflux3) - div(F3, G3)
+    def div(i):
+        return (o.rx * cut(FGr, i) + o.sx * cut(FGs, i)
+                + o.ry * cut(FGr, i + 3) + o.sy * cut(FGs, i + 3))
+
+    sf = _mm(o.LIFT, jnp.concatenate(
+        [o.fscale * dflux1, o.fscale * dflux2, o.fscale * dflux3], axis=1))
+    rhs1 = cut(sf, 0) - div(0)
+    rhs2 = cut(sf, 1) - div(1)
+    rhs3 = cut(sf, 2) - div(2)
 
     # sources (reference sw2d main.cpp:460-483; v-drag sign corrected)
     if meta.has_bathy:
@@ -545,7 +555,9 @@ def _rhs_blocked(h, hu, hv, t, ctrl, o: BlockedOps, meta: BlockedMeta):
 def _eval_rhs(h, hu, hv, t, ctrl, o, meta, use_filter):
     r1, r2, r3 = _rhs_blocked(h, hu, hv, t, ctrl, o, meta)
     if use_filter:
-        r1, r2, r3 = _mm(o.FILT, r1), _mm(o.FILT, r2), _mm(o.FILT, r3)
+        Kp = meta.Kp
+        rf = _mm(o.FILT, jnp.concatenate([r1, r2, r3], axis=1))
+        r1, r2, r3 = rf[:, :Kp], rf[:, Kp:2 * Kp], rf[:, 2 * Kp:]
     return r1, r2, r3
 
 
