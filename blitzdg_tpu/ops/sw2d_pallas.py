@@ -577,7 +577,7 @@ def sw2d_rollout_pallas(
         pl.BlockSpec(op.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         for op in ops
     ]
-    traj_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # full array, DMA'd
+    traj_spec = pl.BlockSpec(memory_space=pl.ANY)  # full array, DMA'd
     traj_shape = jax.ShapeDtypeStruct((B, n_steps + 1, n_vp), h.dtype)
 
     kernel = functools.partial(
@@ -729,7 +729,7 @@ def sw2d_rollout_bwd_pallas(
                               memory_space=pltpu.VMEM)
     ctrl_spec = pl.BlockSpec((tile_b, n_ctrl_steps, meta.cp),
                              lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     op_specs = [
         pl.BlockSpec(op.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         for op in (*ops, *opsT)

@@ -43,6 +43,21 @@ def main():
     print(f"GMRES: flag={int(res.flag)} cycles={int(res.iters)} relres={float(res.relres):.3e}")
     print(f"max-norm error vs exact: {err:.6e}")
 
+    # block-Jacobi preconditioned CG on the symmetrized operator (the
+    # reference solves unpreconditioned — solvers/precon.py is new)
+    from blitzdg_tpu.ops.poisson import apply_mass
+    from blitzdg_tpu.solvers import block_jacobi_from_matvec, cg
+
+    b_sym = -apply_mass(ctx, f).reshape(-1)
+    mv_sym = lambda v: -poisson2d_op(
+        ctx, v.reshape(ctx.k_elem, ctx.n_p), symmetrize=True).reshape(-1)
+    precon = block_jacobi_from_matvec(
+        lambda u: -poisson2d_op(ctx, u, symmetrize=True), ctx)
+    res_p = cg(mv_sym, b_sym, tol=1e-6, maxiter=3000, precon=precon)
+    res_u = cg(mv_sym, b_sym, tol=1e-6, maxiter=3000)
+    print(f"CG   block-Jacobi: iters={int(res_p.iters)}  "
+          f"unpreconditioned: iters={int(res_u.iters)}")
+
     # host oracle
     import scipy.sparse.linalg as spla
 
