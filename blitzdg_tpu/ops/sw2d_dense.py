@@ -84,6 +84,15 @@ def sw2d_rhs_dense(
     State fields: (..., K, Np); trace extraction is (..., n_pK) @ OP.T —
     with a leading scenario batch this is one big MXU matmul.
     """
+    if phys.H is not None and phys.well_balanced:
+        # the dense path applies the plain LF flux; silently producing
+        # different dynamics from sw2d_rhs for the same SWPhysics would be
+        # a trap (ADVICE r2) — mirror the build_pallas_step_ops guard
+        raise NotImplementedError(
+            "sw2d_rhs_dense has no hydrostatic-reconstruction flux; use "
+            "sw2d_rhs / the blocked kernel for well-balanced bathymetry, "
+            "or set phys.well_balanced=False explicitly"
+        )
     K, n_fp, n_faces = ctx.k_elem, ctx.n_fp, ctx.n_faces
     n_tr = n_faces * n_fp
     g = phys.g

@@ -123,6 +123,16 @@ def sharded_sw2d_rhs(
     """
     from ..context import BC_WALL
 
+    if (phys.H is not None or phys.Hx is not None or phys.cd != 0.0
+            or phys.f_cor != 0.0):
+        # this all_gather demonstrator covers the flat-bottom wall-BC core
+        # only; the full coastal physics (bathymetry, well-balancing, drag,
+        # Coriolis, tidal BCs) lives in parallel/halo.halo_sw2d_rhs —
+        # fail loudly instead of silently dropping sources (ADVICE r2)
+        raise NotImplementedError(
+            "sharded_sw2d_rhs covers flat-bottom wall-BC physics; use "
+            "parallel.halo.halo_sw2d_rhs for the full coastal model"
+        )
     K_loc = state.h.shape[0]
     n_tr = ctx.n_faces * ctx.n_fp
     g = phys.g

@@ -43,14 +43,25 @@ def test_advec1d_gaussian_transport_error():
 
     exact = jnp.exp(-10.0 * (ctx.x - c * t_final) ** 2)
     err = float(jnp.max(jnp.abs(u - exact)))
-    # Golden control-parity constant (BASELINE.md 1e-6 bar): the reference
-    # prints this exact deterministic max-norm error for config #1
-    # (advec1d/main.cpp:113-119 semantics; N=4, K=30, 87 LSERK4 steps to
-    # t=20.03). Captured from the x64 run of the same algorithm whose every
-    # operator matches the reference's igloo golden values; any drift
-    # beyond 1e-6 in the solution flags a parity break.
-    GOLDEN = 8.403359636244279e-05
-    assert abs(err - GOLDEN) < 1e-6, f"err {err} drifted from {GOLDEN}"
+
+    # Non-circular parity (BASELINE.md 1e-6 bar): tests/oracle/advec1d_oracle
+    # is an INDEPENDENT from-the-book numpy nodal-DG implementation (no
+    # blitzdg_tpu imports) of the reference config #1
+    # (advec1d/main.cpp:38-48, error semantics :113-119). The framework
+    # solution must match the oracle's full final solution to 1e-6, and the
+    # discretization error itself must stay spectrally small.
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from oracle.advec1d_oracle import run_reference_config
+
+    x_o, u_o, err_o = run_reference_config()
+    np.testing.assert_allclose(np.asarray(ctx.x), x_o, atol=1e-12)
+    assert np.max(np.abs(np.asarray(u) - u_o)) < 1e-6, \
+        f"solution drifted from the independent oracle"
+    assert abs(err - err_o) < 1e-6
+    assert err < 5e-4  # spectral accuracy upper bound (loose)
 
 
 def test_advec1d_convergence():

@@ -202,3 +202,25 @@ def test_sw2d_differentiable():
 
     g = jax.grad(loss)(state0.h)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_dense_path_rejects_well_balanced_bathymetry():
+    """sw2d_rhs_dense has no hydrostatic-reconstruction flux; the same
+    SWPhysics must not silently produce different dynamics than sw2d_rhs
+    (ADVICE r2) — it must refuse instead."""
+    import pytest
+
+    from blitzdg_tpu.ops.sw2d_dense import build_dense_trace_ops, sw2d_rhs_dense
+
+    ctx, _, state = make_problem(N=1)
+    H = 10.0 + 0.1 * ctx.x
+    phys = SWPhysics(g=9.81, H=H, Hx=0.1 * jnp.ones_like(ctx.x),
+                     Hy=jnp.zeros_like(ctx.x))
+    ops = build_dense_trace_ops(ctx)
+    with pytest.raises(NotImplementedError):
+        sw2d_rhs_dense(ctx, ops, state, 0.0, phys)
+    # explicit opt-out works (plain LF flux, same as sw2d_rhs would use)
+    phys_off = SWPhysics(g=9.81, H=H, Hx=phys.Hx, Hy=phys.Hy,
+                         well_balanced=False)
+    out = sw2d_rhs_dense(ctx, ops, state, 0.0, phys_off)
+    assert bool(jnp.isfinite(out.h).all())
