@@ -34,7 +34,7 @@ from .solver import MPCSolution
 class BlockedMPC(NamedTuple):
     rollout: callable
     meta: BlockedMeta
-    wj: jnp.ndarray  # (NP, Kp) mass-weighted quadrature (0 on padding)
+    wj: jnp.ndarray  # (p, NP, M) mass-weighted quadrature (0 on padding)
 
 
 def build_blocked_mpc(
@@ -73,9 +73,10 @@ def mpc_cost_blocked(
 
     th, _, _ = bm.rollout(hp, hup, hvp, controls)
     # states after each control block: step indices (j+1)*spc, j=0..H-1
-    sel = th[:, jnp.arange(1, prob.horizon + 1) * spc]  # (B, H, NP, Kp)
+    sel = th[:, jnp.arange(1, prob.horizon + 1) * spc]  # (B, H, p, NP, M)
     err = (sel - H_rest) * (bm.wj[None, None] > 0) - tp[:, None]
-    per_step = jnp.sum(bm.wj[None, None] * err * err, axis=(-2, -1))  # (B, H)
+    per_step = jnp.sum(bm.wj[None, None] * err * err,
+                       axis=(-3, -2, -1))  # (B, H)
     running = jnp.sum(per_step, axis=-1) / prob.horizon
     terminal = per_step[:, -1]
     effort = jnp.sum(controls * controls, axis=(-2, -1))

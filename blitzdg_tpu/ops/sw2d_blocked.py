@@ -2,22 +2,32 @@
 
 The dense-operator kernel (sw2d_pallas.py) materializes (K*Np, K*Np)
 block-diagonal operators — perfect for the K<=200 MPC regime, O((K*Np)^2)
-memory beyond it. This module is the scalable twin: operators stay at their
-natural (Np, Np) size and states live TRANSPOSED as (Np_pad, K_pad) tiles —
-node-within-element on sublanes, elements on lanes — so
+memory beyond it. This module is the scalable twin: states live TRANSPOSED
+and PACKED as (p, NP, M) tiles — `p` element groups stacked along sublanes,
+`M = Kp/p` elements per group on lanes, nodes within an element on the
+remaining sublane rows — so that
 
- - every volume operation is one (Np, Np) @ (Np, K) MXU matmul with the
-   full 128-lane width busy (K >> 128),
- - flux algebra is (Np_pad, K_pad) VPU work,
+ - every volume operation is ONE (p*NP, p*NP) @ (p*NP, n*M) MXU matmul with
+   block-diagonal `kron(I_p, Op)` operators: with p = 128 // NP the full
+   128-row height of the systolic array is busy (an unpacked (Np, Np)
+   operator uses Np of 128 rows and caps MXU utilization at Np/128 — the
+   round-2 kernel measured ~1% MFU for exactly this reason),
+ - flux algebra is (p, NT, M) VPU work,
  - the per-face Lax-Friedrichs max is a max over n_fp STATIC sublane rows,
- - the '+' trace exchange is a set of static lane ROLLS: at setup the
-   face-neighbor table (context.face_trace_structure) is decomposed into the
-   distinct (local face, lane offset, neighbor face, flip) combinations that
-   actually occur; each combo is one `pltpu.roll` of an (n_fp, K_pad) row
-   block plus a masked accumulate. On structured meshes there are O(10)
-   combos; on unstructured meshes reorder elements with
-   `parallel.partition.rcm_order` first (reverse Cuthill-McKee bounds the
-   lane bandwidth to ~sqrt(K), a few hundred combos).
+ - the '+' trace exchange is a set of static (group-roll, lane-roll)
+   combos: at setup the face-neighbor table is decomposed into the distinct
+   (local face, group shift, lane shift, neighbor face, flip) combinations
+   that occur under the strided element order k = s*M + l; each combo is a
+   leading-axis slice-rotate plus one `pltpu.roll` of a (p, n_fp, M) block
+   and a masked accumulate. On structured meshes there are O(10) combos; on
+   unstructured meshes reorder elements with `parallel.partition.rcm_order`
+   first (reverse Cuthill-McKee bounds the lane bandwidth to ~sqrt(K)), or
+   use the banded one-hot MXU gather mode ('onehot', unpacked p=1).
+
+When the mesh is affine and the physics source-free (the MPC bench regime),
+the modal filter is FOLDED into the operators at setup (FILT@Dr, FILT@Ds,
+FILT@LIFT, FILT@BU — exact because rx..sy are per-element constants on
+affine elements), removing one matmul pass per RHS.
 
 The whole SSP-RK2 step (2 RHS + filter + axpy) — and the whole ROLLOUT —
 runs in VMEM; HBM sees the state once per rollout (plus the optional stored
@@ -31,7 +41,8 @@ main.cpp:356-368,419-421; the static bathymetry TRACES are precomputed at
 setup so no extra exchange happens in the kernel), bed-slope/quadratic-
 drag/Coriolis sources, sponge relaxation after each step, modal filter, and
 linear control forcing. Verified against the XLA path in f64 interpret mode
-(tests/test_blocked.py), including the full coastal configuration.
+(tests/test_blocked.py), including the full coastal configuration, and
+hardware-proven (forward + jax.vjp-in-kernel adjoint) by bench.py.
 """
 from __future__ import annotations
 
@@ -50,42 +61,53 @@ from .sw2d import SWPhysics
 LANE = 128
 SUB = 8  # f32 sublane tile
 
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
 
 def _pad(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
 class BlockedOps(NamedTuple):
-    """Setup-time operator/geometry set, transposed (rows, lanes=elements)."""
+    """Setup-time operator/geometry set in the packed (p, rows, M) layout."""
 
-    Dr: jnp.ndarray  # (NP, NP)
-    Ds: jnp.ndarray  # (NP, NP)
-    FILT: jnp.ndarray  # (NP, NP)
-    LIFT: jnp.ndarray  # (NP, NT)
-    EM: jnp.ndarray  # (NT, NP) one-hot '-'-trace extraction (fmask rows)
-    rx: jnp.ndarray  # (NP, Kp) volume metric (zero on pad rows/lanes)
+    DR: jnp.ndarray  # (p*NP, p*NP) kron(I_p, Dr)
+    DS: jnp.ndarray
+    FILT: jnp.ndarray  # (p*NP, p*NP)
+    LIFT: jnp.ndarray  # (p*NP, p*NT)
+    EM: jnp.ndarray  # (p*NT, p*NP) one-hot '-'-trace extraction
+    FDR: jnp.ndarray  # filter-folded variants ((1,1) placeholders when
+    FDS: jnp.ndarray  # meta.fold is False)
+    FLIFT: jnp.ndarray
+    rx: jnp.ndarray  # (p, NP, M) volume metric (zero on pad rows/lanes)
     sx: jnp.ndarray
     ry: jnp.ndarray
     sy: jnp.ndarray
-    nx: jnp.ndarray  # (NT, Kp) face-node geometry
+    nx: jnp.ndarray  # (p, NT, M) face-node geometry
     ny: jnp.ndarray
     fscale: jnp.ndarray
-    wall: jnp.ndarray  # (NT, Kp) wall-BC mask (1.0 at wall trace nodes)
-    vmask: jnp.ndarray  # (NP, Kp) 1.0 at valid volume nodes
-    tmask: jnp.ndarray  # (NT, Kp) 1.0 at valid trace nodes
-    cmask: jnp.ndarray  # (C_pad, Kp) per-combo target-lane masks
-    # one-hot trace-exchange mode (meta.trace_mode == 'onehot'):
+    wall: jnp.ndarray  # (p, NT, M) wall-BC mask (1.0 at wall trace nodes)
+    vmask: jnp.ndarray  # (p, NP, M) 1.0 at valid volume nodes
+    tmask: jnp.ndarray  # (p, NT, M) 1.0 at valid trace nodes
+    cmask: jnp.ndarray  # (C_pad, p, M) per-combo target masks
+    # one-hot trace-exchange mode (meta.trace_mode == 'onehot', p=1):
     PH: jnp.ndarray  # (n_blocks, WIN, n_faces*128) banded one-hot gathers
-    fsel: jnp.ndarray  # (n_faces*n_faces*2, Kp) neighbor-face/flip masks
-    obc: jnp.ndarray  # (NT, Kp) BC_OUT mask (tidal open boundary)
-    H: jnp.ndarray  # (NP, Kp) still-water depth (1.0 when absent/pad)
-    Hx: jnp.ndarray  # (NP, Kp) bed slopes (0 when absent)
+    fsel: jnp.ndarray  # (n_faces*n_faces*2, M) neighbor-face/flip masks
+    obc: jnp.ndarray  # (p, NT, M) BC_OUT mask (tidal open boundary)
+    H: jnp.ndarray  # (p, NP, M) still-water depth (1.0 when absent/pad)
+    Hx: jnp.ndarray  # (p, NP, M) bed slopes (0 when absent)
     Hy: jnp.ndarray
-    SPNG: jnp.ndarray  # (NP, Kp) sponge coefficient (0 when absent)
-    HMt: jnp.ndarray  # (NT, Kp) precomputed '-' trace of H (1.0 pad)
-    HPt: jnp.ndarray  # (NT, Kp) precomputed '+' trace of H (1.0 pad)
-    BU: jnp.ndarray  # (n_ctrl, NP, Kp) control forcing injectors
+    SPNG: jnp.ndarray  # (p, NP, M) sponge coefficient (0 when absent)
+    HMt: jnp.ndarray  # (p, NT, M) precomputed '-' trace of H (1.0 pad)
+    HPt: jnp.ndarray  # (p, NT, M) precomputed '+' trace of H (1.0 pad)
+    BU: jnp.ndarray  # (n_ctrl, p, NP, M) control forcing injectors
     BV: jnp.ndarray
+    FBU: jnp.ndarray  # filter-folded injectors ((1,1,1,1) when not fold)
+    FBV: jnp.ndarray
 
 
 class BlockedMeta(NamedTuple):
@@ -95,7 +117,9 @@ class BlockedMeta(NamedTuple):
     k_elem: int
     NP: int  # padded Np (sublane multiple)
     NT: int  # padded n_faces*n_fp
-    Kp: int  # padded K (lane multiple)
+    Kp: int  # p * M (total padded element slots)
+    p: int  # element groups stacked on sublanes (1 = unpacked)
+    M: int  # lanes per group (lane multiple)
     n_ctrl: int
     g: float
     cd: float  # quadratic bottom drag (0 = off)
@@ -103,18 +127,33 @@ class BlockedMeta(NamedTuple):
     wb: bool  # hydrostatic-reconstruction well-balancing active
     has_bathy: bool  # bed-slope sources active
     has_sponge: bool
+    fold: bool  # filter folded into DR/DS/LIFT/BU (affine, source-free)
     # tidal BC_OUT params (h0, amp, omega, ramp_tau) or None:
-    # hP(obc) = h0 + amp*cos(omega*t)*min(t/ramp_tau, 1)
+    # hP(obc) = h0 + amp*cos(omega*t)*ramp
     tidal: tuple | None
-    # static combo table: ((target_face, lane_shift, src_face, flip), ...)
+    # static combo table: ((face, group_shift, lane_shift, src_face, flip),…)
     combos: tuple
-    # trace-exchange strategy: 'rolls' (static lane rolls per combo — O(10)
-    # combos on structured meshes) or 'onehot' (banded one-hot MXU matmuls
-    # per 128-lane block — O(K/128) matmuls regardless of combo count; the
-    # unstructured-mesh mode, pair with parallel.partition.rcm_order)
+    # trace-exchange strategy: 'rolls' (static group/lane rolls per combo —
+    # O(10) combos on structured meshes) or 'onehot' (banded one-hot MXU
+    # matmuls per 128-lane block — O(K/128) matmuls regardless of combo
+    # count; the unstructured-mesh mode, pair with rcm_order; forces p=1)
     trace_mode: str = "rolls"
     win: int = 0  # one-hot source-window width (lanes)
     block_starts: tuple = ()  # per-block static window starts
+    precision: str = "highest"  # MXU pass count: highest=f32, high=bf16x3
+
+
+def matmul_flops_per_step(meta: BlockedMeta) -> float:
+    """USEFUL (unpadded) MXU FLOPs of one SSP-RK2 step — for MFU/roofline
+    reporting. Counts 2 RHS evals: trace extraction (3 fields), Dr+Ds on
+    the 5 unique flux fields, LIFT (3), FILT (3, when not folded)."""
+    K, n_p, n_tr = meta.k_elem, meta.n_p, meta.n_faces * meta.n_fp
+    per_rhs = (2 * n_tr * n_p * K * 3         # EM trace extraction
+               + 2 * 2 * n_p * n_p * K * 5    # Dr, Ds on 5 flux fields
+               + 2 * n_p * n_tr * K * 3)      # LIFT
+    if not meta.fold:
+        per_rhs += 2 * n_p * n_p * K * 3      # separate filter pass
+    return 2.0 * per_rhs
 
 
 def build_blocked_step_ops(
@@ -126,64 +165,90 @@ def build_blocked_step_ops(
     max_combos: int = 2048,
     tidal: tuple | None = None,  # (h0, amp, omega, ramp_tau) BC_OUT forcing
     trace_mode: str = "auto",  # 'rolls' | 'onehot' | 'auto'
+    pack: int | str = "auto",  # element groups per sublane stack
+    fold_filter: bool | str = "auto",
+    precision: str = "highest",
 ) -> tuple[BlockedOps, BlockedMeta]:
     """Freeze the blocked operator set (host-side, once at setup).
 
     ``trace_mode='auto'`` picks lane rolls when the mesh needs few distinct
     roll combos (structured meshes) and the banded one-hot MXU gather
     otherwise (unstructured meshes — reorder with `rcm_order` first to
-    bound the band). Raises if rolls mode is forced past ``max_combos``.
+    bound the band). ``pack='auto'`` stacks p = 128 // NP element groups on
+    sublanes in rolls mode (1 in onehot mode). ``fold_filter='auto'`` folds
+    the modal filter into the operators when the mesh is affine and the
+    physics has no nonlinear sources.
     """
     K, n_p = ctx.k_elem, ctx.n_p
     n_fp, n_faces = ctx.n_fp, ctx.n_faces
     n_tr = n_faces * n_fp
-    NP, NT, Kp = _pad(n_p, SUB), _pad(n_tr, SUB), _pad(K, LANE)
+    NP, NT = _pad(n_p, SUB), _pad(n_tr, SUB)
 
     if ctx.face_nbr is None:
         raise ValueError("context lacks face-granular trace structure")
     face_nbr = np.asarray(ctx.face_nbr).reshape(K, n_faces)
     face_flip = np.asarray(ctx.face_flip).reshape(K, n_faces)
-
-    # ---- decompose the '+'-trace map into (face, shift, src_face, flip)
-    # combos with per-combo target-lane masks ----
-    combo_ids: dict[tuple, int] = {}
-    masks: list[np.ndarray] = []
-    for k in range(K):
-        for f in range(n_faces):
-            nbr = int(face_nbr[k, f])
-            k2, f2 = nbr // n_faces, nbr % n_faces
-            shift = (k - k2) % Kp  # roll semantics: out[l] = in[(l-shift)%Kp]
-            key = (f, shift, f2, bool(face_flip[k, f]))
-            ci = combo_ids.setdefault(key, len(combo_ids))
-            if ci == len(masks):
-                masks.append(np.zeros(Kp))
-            masks[ci][k] = 1.0
-    n_combos = len(combo_ids)
-    if trace_mode == "auto":
-        trace_mode = "rolls" if n_combos <= 48 else "onehot"
-    if trace_mode == "rolls" and n_combos > max_combos:
-        raise ValueError(
-            f"trace exchange needs {n_combos} roll combos (> {max_combos}); "
-            "reorder elements with parallel.partition.rcm_order first, or "
-            "use trace_mode='onehot'"
-        )
-
     nbr_elem = face_nbr // n_faces  # (K, n_faces)
     nbr_face = face_nbr % n_faces
-    win = 0
-    block_starts: tuple = ()
-    n_blocks = Kp // LANE
+
+    # ---- pick the trace mode from the UNPACKED combo count (cheap) ----
+    base_keys = set()
+    Kp0 = _pad(K, LANE)
+    for k in range(K):
+        for f in range(n_faces):
+            base_keys.add((f, (k - int(nbr_elem[k, f])) % Kp0,
+                           int(nbr_face[k, f]), bool(face_flip[k, f])))
+    if trace_mode == "auto":
+        trace_mode = "rolls" if len(base_keys) <= 48 else "onehot"
+
+    # ---- choose the sublane packing factor ----
+    if trace_mode == "onehot":
+        p = 1  # banded gathers index raw lanes; keep the flat layout
+    elif pack == "auto":
+        p = max(1, min(LANE // NP, -(-K // LANE)))
+    else:
+        p = max(1, int(pack))
+    M = _pad(-(-K // p), LANE)
+    Kp = p * M
+
+    # ---- decompose the '+'-trace map into (face, group shift, lane shift,
+    # src_face, flip) combos with per-combo target masks ----
+    combo_ids: dict[tuple, int] = {}
+    masks: list[np.ndarray] = []
     if trace_mode == "rolls":
+        for k in range(K):
+            s, l = divmod(k, M)
+            for f in range(n_faces):
+                k2 = int(nbr_elem[k, f])
+                s2, l2 = divmod(k2, M)
+                key = (f, (s - s2) % p, (l - l2) % M,
+                       int(nbr_face[k, f]), bool(face_flip[k, f]))
+                ci = combo_ids.setdefault(key, len(combo_ids))
+                if ci == len(masks):
+                    masks.append(np.zeros((p, M)))
+                masks[ci][s, l] = 1.0
+        n_combos = len(combo_ids)
+        if n_combos > max_combos:
+            raise ValueError(
+                f"trace exchange needs {n_combos} roll combos "
+                f"(> {max_combos}); reorder elements with "
+                "parallel.partition.rcm_order first, or use "
+                "trace_mode='onehot'"
+            )
         C_pad = _pad(max(n_combos, 1), SUB)
-        cmask = np.zeros((C_pad, Kp))
-        cmask[:n_combos] = np.stack(masks) if masks else 0.0
+        cmask = np.zeros((C_pad, p, M))
+        if masks:
+            cmask[:n_combos] = np.stack(masks)
         combos = tuple(combo_ids.keys())
         PH = np.zeros((1, 1, 1))
         fsel = np.zeros((1, 1))
+        win = 0
+        block_starts: tuple = ()
     else:
         combos = ()
-        cmask = np.zeros((SUB, Kp))
+        cmask = np.zeros((SUB, p, M))
         # per-128-lane-block source windows (aligned to 128)
+        n_blocks = M // LANE
         starts, ends = [], []
         for b in range(n_blocks):
             lanes = np.arange(b * LANE, min((b + 1) * LANE, K))
@@ -195,7 +260,7 @@ def build_blocked_step_ops(
             starts.append((int(src.min()) // LANE) * LANE)
             ends.append(int(src.max()) + 1)
         win = max(_pad(e - s0, LANE) for s0, e in zip(starts, ends))
-        block_starts = tuple(min(s0, max(Kp - win, 0)) for s0 in starts)
+        block_starts = tuple(min(s0, max(M - win, 0)) for s0 in starts)
         PH = np.zeros((n_blocks, win, n_faces * LANE))
         for b, s0 in enumerate(block_starts):
             for f in range(n_faces):
@@ -203,7 +268,7 @@ def build_blocked_step_ops(
                 j = nbr_elem[lanes, f] - s0
                 assert (j >= 0).all() and (j < win).all()
                 PH[b, j, f * LANE + (lanes - b * LANE)] = 1.0
-        fsel = np.zeros((n_faces * n_faces * 2, Kp))
+        fsel = np.zeros((n_faces * n_faces * 2, M))
         for f in range(n_faces):
             for k in range(K):
                 f2 = int(nbr_face[k, f])
@@ -215,28 +280,47 @@ def build_blocked_step_ops(
         out[: a.shape[0], : a.shape[1]] = np.asarray(a)
         return out
 
-    def padT(a, rows):  # (K, n) field -> transposed padded (rows, Kp)
-        return padm(np.asarray(a).T, rows, Kp)
+    def padT3(a, rows, fill=0.0):
+        """(K, n) field -> packed transposed (p, rows, M)."""
+        arr = np.asarray(a)
+        out = np.full((p, rows, M), fill)
+        n = arr.shape[1]
+        for s in range(p):
+            lo, hi = s * M, min((s + 1) * M, K)
+            if lo >= K:
+                break
+            out[s, :n, : hi - lo] = arr[lo:hi].T
+        return out
+
+    kron = lambda a: np.kron(np.eye(p), a)
 
     EM = np.zeros((NT, NP))
     EM[np.arange(n_tr), np.asarray(ctx.fmask).reshape(-1)] = 1.0
+    Dr_p = padm(ctx.Dr, NP, NP)
+    Ds_p = padm(ctx.Ds, NP, NP)
+    filt_p = padm(ctx.filter, NP, NP)
+    lift_p = padm(ctx.lift, NP, NT)
 
     wall = np.zeros((K, n_tr))
     w_idx = np.asarray(ctx.bc_maps.idx[BC_WALL])
     w_msk = np.asarray(ctx.bc_maps.mask[BC_WALL])
     wall.reshape(-1)[w_idx[w_msk]] = 1.0
 
-    vmask = np.zeros((NP, Kp))
-    vmask[:n_p, :K] = 1.0
-    tmask = np.zeros((NT, Kp))
-    tmask[:n_tr, :K] = 1.0
+    vmask = np.zeros((p, NP, M))
+    tmask = np.zeros((p, NT, M))
+    for s in range(p):
+        lo, hi = s * M, min((s + 1) * M, K)
+        if lo >= K:
+            break
+        vmask[s, :n_p, : hi - lo] = 1.0
+        tmask[s, :n_tr, : hi - lo] = 1.0
 
     if forcing_bu is None:
         forcing_bu = np.zeros((1, K, n_p))
         forcing_bv = np.zeros((1, K, n_p))
     n_ctrl = forcing_bu.shape[0]
-    BU = np.stack([padT(forcing_bu[c], NP) for c in range(n_ctrl)])
-    BV = np.stack([padT(forcing_bv[c], NP) for c in range(n_ctrl)])
+    BU = np.stack([padT3(forcing_bu[c], NP) for c in range(n_ctrl)])
+    BV = np.stack([padT3(forcing_bv[c], NP) for c in range(n_ctrl)])
 
     obc = np.zeros((K, n_tr))
     if tidal is not None:
@@ -249,66 +333,98 @@ def build_blocked_step_ops(
     has_bathy = phys.H is not None
     wb = has_bathy and phys.well_balanced
     if has_bathy:
-        Hpk = padm(np.asarray(phys.H).T, NP, Kp)
-        Hpk[n_p:, :] = 1.0
-        Hpk[:, K:] = 1.0
-        Hxp = padm(np.asarray(phys.Hx).T, NP, Kp)
-        Hyp = padm(np.asarray(phys.Hy).T, NP, Kp)
+        Hpk = padT3(np.asarray(phys.H), NP, fill=1.0)
+        Hxp = padT3(np.asarray(phys.Hx), NP)
+        Hyp = padT3(np.asarray(phys.Hy), NP)
         HMf, HPf = ctx.surface_trace(phys.H)
-        HMt = padm(np.asarray(HMf).reshape(K, n_tr).T, NT, Kp)
-        HPt = padm(np.asarray(HPf).reshape(K, n_tr).T, NT, Kp)
-        for a in (HMt, HPt):
-            a[n_tr:, :] = 1.0
-            a[:, K:] = 1.0
+        HMt = padT3(np.asarray(HMf).reshape(K, n_tr), NT, fill=1.0)
+        HPt = padT3(np.asarray(HPf).reshape(K, n_tr), NT, fill=1.0)
     else:
-        Hpk = np.ones((NP, Kp))
-        Hxp = np.zeros((NP, Kp))
-        Hyp = np.zeros((NP, Kp))
-        HMt = np.ones((NT, Kp))
-        HPt = np.ones((NT, Kp))
+        Hpk = np.ones((p, NP, M))
+        Hxp = np.zeros((p, NP, M))
+        Hyp = np.zeros((p, NP, M))
+        HMt = np.ones((p, NT, M))
+        HPt = np.ones((p, NT, M))
     has_sponge = phys.sponge is not None
-    SPNG = (padT(phys.sponge, NP) if has_sponge else np.zeros((NP, Kp)))
+    SPNG = (padT3(phys.sponge, NP) if has_sponge else np.zeros((p, NP, M)))
+
+    # ---- filter folding: FILT @ (rx*(Dr@F)+…) == rx*((FILT@Dr)@F)+… holds
+    # iff the metric is constant within each element (affine elements); the
+    # remaining RHS terms must all be linear images of filtered quantities,
+    # i.e. no bathymetry/drag/Coriolis sources (control is folded too) ----
+    affine = all(
+        float(np.ptp(np.asarray(m)[:, :n_p], axis=1).max(initial=0.0)) < 1e-10
+        for m in (ctx.rx, ctx.sx, ctx.ry, ctx.sy)
+    )
+    can_fold = affine and not has_bathy and phys.cd == 0.0 and phys.f_cor == 0.0
+    if fold_filter == "auto":
+        fold = can_fold
+    else:
+        fold = bool(fold_filter)
+        if fold and not can_fold:
+            raise ValueError(
+                "fold_filter=True needs affine elements and source-free "
+                "physics (bathymetry/drag/Coriolis interact nonlinearly "
+                "with the modal filter)"
+            )
+    filt_np = np.asarray(ctx.filter)
+    if fold:
+        FDR = kron(padm(filt_np @ np.asarray(ctx.Dr), NP, NP))
+        FDS = kron(padm(filt_np @ np.asarray(ctx.Ds), NP, NP))
+        FLIFT = kron(padm(filt_np @ np.asarray(ctx.lift), NP, NT))
+        FBU = np.stack([padT3(forcing_bu[c] @ filt_np.T, NP)
+                        for c in range(n_ctrl)])
+        FBV = np.stack([padT3(forcing_bv[c] @ filt_np.T, NP)
+                        for c in range(n_ctrl)])
+    else:
+        FDR = FDS = FLIFT = np.zeros((1, 1))
+        FBU = FBV = np.zeros((1, 1, 1, 1))
 
     to = lambda a: jnp.asarray(a, dtype=dtype)
     ops = BlockedOps(
-        Dr=to(padm(ctx.Dr, NP, NP)),
-        Ds=to(padm(ctx.Ds, NP, NP)),
-        FILT=to(padm(ctx.filter, NP, NP)),
-        LIFT=to(padm(ctx.lift, NP, NT)),
-        EM=to(EM),
-        rx=to(padT(ctx.rx, NP)), sx=to(padT(ctx.sx, NP)),
-        ry=to(padT(ctx.ry, NP)), sy=to(padT(ctx.sy, NP)),
-        nx=to(padT(ctx.nx, NT)), ny=to(padT(ctx.ny, NT)),
-        fscale=to(padT(ctx.fscale, NT)),
-        wall=to(padT(wall, NT)),
+        DR=to(kron(Dr_p)), DS=to(kron(Ds_p)), FILT=to(kron(filt_p)),
+        LIFT=to(kron(lift_p)), EM=to(kron(EM)),
+        FDR=to(FDR), FDS=to(FDS), FLIFT=to(FLIFT),
+        rx=to(padT3(ctx.rx, NP)), sx=to(padT3(ctx.sx, NP)),
+        ry=to(padT3(ctx.ry, NP)), sy=to(padT3(ctx.sy, NP)),
+        nx=to(padT3(ctx.nx, NT)), ny=to(padT3(ctx.ny, NT)),
+        fscale=to(padT3(ctx.fscale, NT)),
+        wall=to(padT3(wall, NT)),
         vmask=to(vmask), tmask=to(tmask), cmask=to(cmask),
         PH=to(PH), fsel=to(fsel),
-        obc=to(padT(obc, NT)),
+        obc=to(padT3(obc, NT)),
         H=to(Hpk), Hx=to(Hxp), Hy=to(Hyp), SPNG=to(SPNG),
         HMt=to(HMt), HPt=to(HPt),
-        BU=to(BU), BV=to(BV),
+        BU=to(BU), BV=to(BV), FBU=to(FBU), FBV=to(FBV),
     )
     meta = BlockedMeta(
         n_p=n_p, n_fp=n_fp, n_faces=n_faces, k_elem=K,
-        NP=NP, NT=NT, Kp=Kp, n_ctrl=n_ctrl, g=float(phys.g),
+        NP=NP, NT=NT, Kp=Kp, p=p, M=M, n_ctrl=n_ctrl, g=float(phys.g),
         cd=float(phys.cd), f_cor=float(phys.f_cor), wb=wb,
-        has_bathy=has_bathy, has_sponge=has_sponge,
+        has_bathy=has_bathy, has_sponge=has_sponge, fold=fold,
         tidal=tuple(float(v) for v in tidal) if tidal is not None else None,
         combos=combos,
         trace_mode=trace_mode, win=win, block_starts=block_starts,
+        precision=precision,
     )
     return ops, meta
 
 
 def pack_state(meta: BlockedMeta, f: jnp.ndarray) -> jnp.ndarray:
-    """(B, K, Np) -> transposed padded (B, NP, Kp)."""
-    ft = jnp.swapaxes(f, -1, -2)  # (B, Np, K)
-    return jnp.pad(ft, ((0, 0), (0, meta.NP - meta.n_p),
-                        (0, meta.Kp - meta.k_elem)))
+    """(..., K, Np) -> packed (..., p, NP, M): element k at group k // M,
+    lane k % M; nodes on sublanes."""
+    lead = f.shape[:-2]
+    ft = jnp.pad(f, tuple((0, 0) for _ in lead)
+                 + ((0, meta.Kp - meta.k_elem), (0, meta.NP - meta.n_p)))
+    ft = ft.reshape(*lead, meta.p, meta.M, meta.NP)
+    return jnp.swapaxes(ft, -1, -2)
 
 
 def unpack_state(meta: BlockedMeta, f: jnp.ndarray) -> jnp.ndarray:
-    return jnp.swapaxes(f[..., : meta.n_p, : meta.k_elem], -1, -2)
+    lead = f.shape[:-3]
+    ft = jnp.swapaxes(f, -1, -2)  # (..., p, M, NP)
+    ft = ft.reshape(*lead, meta.Kp, meta.NP)
+    return ft[..., : meta.k_elem, : meta.n_p]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
@@ -331,36 +447,58 @@ def _roll_bwd(shift, axis, _, g):
 _roll.defvjp(_roll_fwd, _roll_bwd)
 
 
-def _mm(a, b):
-    # full-precision MXU passes (see sw2d_pallas._mm / config.dg_op);
+def _group_roll(x, shift):
+    """Leading-axis roll via static slices (differentiable, Mosaic-safe):
+    out[s] = x[(s - shift) % p]."""
+    p = x.shape[0]
+    shift = shift % p
+    if shift == 0:
+        return x
+    return jnp.concatenate([x[p - shift:], x[:p - shift]], axis=0)
+
+
+def _mm(a, b, precision):
     # accumulate in the operand dtype (f32 on hardware, f64 in the
-    # interpret-mode parity tests)
+    # interpret-mode parity tests); pass count set by meta.precision
     return jnp.dot(a, b, preferred_element_type=a.dtype,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_PRECISIONS[precision])
 
 
-def _plus_trace(fM, o, meta: BlockedMeta):
-    """'+' trace from the '-' trace: static lane rolls + masked adds
-    ('rolls' mode) or banded one-hot MXU gathers ('onehot' mode)."""
+def _vmm(OP, x, meta: BlockedMeta):
+    """Packed matmul: OP (R, p*rows) @ x (p, rows, nM) -> (p, R//p, nM).
+    The (p, rows, nM) -> (p*rows, nM) reshape is a pure view (rows is a
+    sublane-tile multiple), so this is ONE full-height MXU call."""
+    p = meta.p
+    xf = x.reshape(p * x.shape[1], x.shape[2])
+    y = _mm(OP, xf, meta.precision)
+    return y.reshape(p, y.shape[0] // p, x.shape[2])
+
+
+def _plus_trace(tM, o, meta: BlockedMeta):
+    """'+' trace from the '-' trace: static (group, lane) rolls + masked
+    adds ('rolls' mode) or banded one-hot MXU gathers ('onehot', p=1)."""
     if meta.trace_mode == "onehot":
-        return _plus_trace_onehot(fM, o, meta)
-    n_fp, NT, Kp = meta.n_fp, meta.NT, meta.Kp
-    acc = [jnp.zeros((n_fp, Kp), fM.dtype) for _ in range(meta.n_faces)]
-    for ci, (f, shift, f2, flip) in enumerate(meta.combos):
-        block = fM[f2 * n_fp:(f2 + 1) * n_fp, :]
+        return _plus_trace_onehot(tM[0], o, meta)[None]
+    n_fp, p, M = meta.n_fp, meta.p, meta.M
+    acc = [jnp.zeros((p, n_fp, M), tM.dtype) for _ in range(meta.n_faces)]
+    for ci, (f, ds, dl, f2, flip) in enumerate(meta.combos):
+        base = f2 * n_fp
         if flip:
             # static row reversal via slices (lax.rev has no Mosaic lowering)
-            base = f2 * n_fp
             block = jnp.concatenate(
-                [fM[base + i:base + i + 1, :]
-                 for i in range(n_fp - 1, -1, -1)], axis=0)
-        if shift:
-            block = _roll(block, shift, 1)
-        acc[f] = acc[f] + o.cmask[ci:ci + 1, :] * block
-    pad_rows = NT - meta.n_faces * n_fp
+                [tM[:, base + i:base + i + 1, :]
+                 for i in range(n_fp - 1, -1, -1)], axis=1)
+        else:
+            block = tM[:, base:base + n_fp, :]
+        if ds:
+            block = _group_roll(block, ds)
+        if dl:
+            block = _roll(block, dl, 2)
+        acc[f] = acc[f] + o.cmask[ci][:, None, :] * block
+    pad_rows = meta.NT - meta.n_faces * n_fp
     if pad_rows:
-        acc.append(jnp.zeros((pad_rows, Kp), fM.dtype))
-    return jnp.concatenate(acc, axis=0)
+        acc.append(jnp.zeros((p, pad_rows, M), tM.dtype))
+    return jnp.concatenate(acc, axis=1)
 
 
 def _plus_trace_onehot(fM, o, meta: BlockedMeta):
@@ -372,17 +510,17 @@ def _plus_trace_onehot(fM, o, meta: BlockedMeta):
     unstructured-mesh mode (elements should be RCM-ordered so the band,
     and with it WIN, stays ~sqrt(K))."""
     n_fp, n_faces = meta.n_fp, meta.n_faces
-    NT, Kp, win = meta.NT, meta.Kp, meta.win
+    NT, M, win = meta.NT, meta.M, meta.win
 
     gathered = [
-        _mm(fM[:, s0:s0 + win], o.PH[b])  # (NT, n_faces*128)
+        _mm(fM[:, s0:s0 + win], o.PH[b], meta.precision)
         for b, s0 in enumerate(meta.block_starts)
     ]
     acc = []
     for f in range(n_faces):
         A = jnp.concatenate(
             [g[:, f * LANE:(f + 1) * LANE] for g in gathered], axis=1)
-        accf = jnp.zeros((n_fp, Kp), fM.dtype)
+        accf = jnp.zeros((n_fp, M), fM.dtype)
         for f2 in range(n_faces):
             base = f2 * n_fp
             rows_f = A[base:base + n_fp, :]
@@ -395,7 +533,7 @@ def _plus_trace_onehot(fM, o, meta: BlockedMeta):
         acc.append(accf)
     pad_rows = NT - n_faces * n_fp
     if pad_rows:
-        acc.append(jnp.zeros((pad_rows, Kp), fM.dtype))
+        acc.append(jnp.zeros((pad_rows, M), fM.dtype))
     return jnp.concatenate(acc, axis=0)
 
 
@@ -404,13 +542,13 @@ def _face_max(spd, meta: BlockedMeta):
     n_fp = meta.n_fp
     rows = []
     for f in range(meta.n_faces):
-        blk = spd[f * n_fp:(f + 1) * n_fp, :]
-        m = jnp.max(blk, axis=0, keepdims=True)
+        blk = spd[:, f * n_fp:(f + 1) * n_fp, :]
+        m = jnp.max(blk, axis=1, keepdims=True)
         rows.append(jnp.broadcast_to(m, blk.shape))
     pad_rows = meta.NT - meta.n_faces * n_fp
     if pad_rows:
-        rows.append(spd[meta.n_faces * n_fp:, :])
-    return jnp.concatenate(rows, axis=0)
+        rows.append(spd[:, meta.n_faces * n_fp:, :])
+    return jnp.concatenate(rows, axis=1)
 
 
 def _safe_norm(u, v):
@@ -421,25 +559,31 @@ def _safe_norm(u, v):
     return jnp.where(r2 > 0.0, r, 0.0)
 
 
-def _rhs_blocked(h, hu, hv, t, ctrl, o: BlockedOps, meta: BlockedMeta):
-    """One shallow-water RHS on transposed padded (NP, Kp) values.
+def _rhs_blocked(h, hu, hv, t, ctrl, o: BlockedOps, meta: BlockedMeta,
+                 folded: bool):
+    """One shallow-water RHS on packed (p, NP, M) values.
 
     Same math as ops.sw2d.sw2d_rhs — wall reflection, tidal BC_OUT forcing,
     per-face trace-max LF flux with hydrostatic-reconstruction well-
     balancing when bathymetry is present, bed-slope/drag/Coriolis sources;
-    pure jnp on values — shared by step and rollout kernels.
+    pure jnp on values — shared by step and rollout kernels. When
+    ``folded``, the filter is already baked into DR/DS/LIFT/BU.
     """
     g = meta.g
+    M = meta.M
     h = jnp.where(o.vmask > 0, h, 1.0)
     hu = hu * o.vmask
     hv = hv * o.vmask
 
-    # one stacked MXU call instead of three (block-column matmuls are
-    # bitwise the same dot products; the win is call count — at B=1 the
-    # step is matmul-launch-bound)
-    Kp = meta.Kp
-    tM = _mm(o.EM, jnp.concatenate([h, hu, hv], axis=1))
-    hM, huM, hvM = tM[:, :Kp], tM[:, Kp:2 * Kp], tM[:, 2 * Kp:]
+    DRa = o.FDR if folded else o.DR
+    DSa = o.FDS if folded else o.DS
+    LIFTa = o.FLIFT if folded else o.LIFT
+    BUa = o.FBU if folded else o.BU
+    BVa = o.FBV if folded else o.BV
+
+    # one stacked full-height MXU call instead of three (fields along lanes)
+    tM = _vmm(o.EM, jnp.concatenate([h, hu, hv], axis=2), meta)
+    hM, huM, hvM = tM[:, :, :M], tM[:, :, M:2 * M], tM[:, :, 2 * M:]
     hP = _plus_trace(hM, o, meta)
     huP = _plus_trace(huM, o, meta)
     hvP = _plus_trace(hvM, o, meta)
@@ -471,9 +615,9 @@ def _rhs_blocked(h, hu, hv, t, ctrl, o: BlockedOps, meta: BlockedMeta):
         corr = (hM - hMs) * (uM * o.nx + vM * o.ny)
 
         def flux_uv(hh, uu, vv):
-            p = 0.5 * g * hh * hh
-            return (hh * uu, hh * uu * uu + p, hh * uu * vv,
-                    hh * vv, hh * uu * vv, hh * vv * vv + p)
+            pr = 0.5 * g * hh * hh
+            return (hh * uu, hh * uu * uu + pr, hh * uu * vv,
+                    hh * vv, hh * uu * vv, hh * vv * vv + pr)
 
         F1M, F2M, F3M, G1M, G2M, G3M = flux_uv(hMs, uM, vM)
         F1P, F2P, F3P, G1P, G2P, G3P = flux_uv(hPs, uP, vP)
@@ -483,10 +627,10 @@ def _rhs_blocked(h, hu, hv, t, ctrl, o: BlockedOps, meta: BlockedMeta):
     else:
         def flux_c(hh, hhu, hhv):
             inv_h = 1.0 / hh
-            p = 0.5 * g * hh * hh
-            F2 = hhu * hhu * inv_h + p
+            pr = 0.5 * g * hh * hh
+            F2 = hhu * hhu * inv_h + pr
             G2 = hhu * hhv * inv_h
-            G3 = hhv * hhv * inv_h + p
+            G3 = hhv * hhv * inv_h + pr
             return hhu, F2, G2, hhv, G2, G3
 
         F1M, F2M, F3M, G1M, G2M, G3M = flux_c(hM, huM, hvM)
@@ -506,31 +650,28 @@ def _rhs_blocked(h, hu, hv, t, ctrl, o: BlockedOps, meta: BlockedMeta):
         dflux2 = dflux2 + corr * uM
         dflux3 = dflux3 + corr * vM
 
-    def flux(hh, hhu, hhv):
-        inv_h = 1.0 / hh
-        p = 0.5 * g * hh * hh
-        F2 = hhu * hhu * inv_h + p
-        G2 = hhu * hhv * inv_h
-        G3 = hhv * hhv * inv_h + p
-        return hhu, F2, G2, hhv, G2, G3
+    # volume fluxes: only 5 distinct fields (F1=hu, G1=hv, G2 shared):
+    # [hu, F2, G2, hv, G3] — derivatives in 2 stacked full-height matmuls
+    inv_h = 1.0 / h
+    pr = 0.5 * g * h * h
+    F2 = hu * hu * inv_h + pr
+    G2 = hu * hv * inv_h
+    G3 = hv * hv * inv_h + pr
+    FG = jnp.concatenate([hu, F2, G2, hv, G3], axis=2)
+    FGr = _vmm(DRa, FG, meta)
+    FGs = _vmm(DSa, FG, meta)
+    cut = lambda a, i: a[:, :, i * M:(i + 1) * M]
 
-    F1, F2, F3, G1, G2, G3 = flux(h, hu, hv)
+    def div(ix, iy):
+        return (o.rx * cut(FGr, ix) + o.sx * cut(FGs, ix)
+                + o.ry * cut(FGr, iy) + o.sy * cut(FGs, iy))
 
-    # 12 derivative matmuls -> 2 stacked ones; 3 lifts -> 1
-    FG = jnp.concatenate([F1, F2, F3, G1, G2, G3], axis=1)
-    FGr = _mm(o.Dr, FG)
-    FGs = _mm(o.Ds, FG)
-    cut = lambda a, i: a[:, i * Kp:(i + 1) * Kp]
-
-    def div(i):
-        return (o.rx * cut(FGr, i) + o.sx * cut(FGs, i)
-                + o.ry * cut(FGr, i + 3) + o.sy * cut(FGs, i + 3))
-
-    sf = _mm(o.LIFT, jnp.concatenate(
-        [o.fscale * dflux1, o.fscale * dflux2, o.fscale * dflux3], axis=1))
-    rhs1 = cut(sf, 0) - div(0)
-    rhs2 = cut(sf, 1) - div(1)
-    rhs3 = cut(sf, 2) - div(2)
+    sf = _vmm(LIFTa, jnp.concatenate(
+        [o.fscale * dflux1, o.fscale * dflux2, o.fscale * dflux3], axis=2),
+        meta)
+    rhs1 = cut(sf, 0) - div(0, 3)
+    rhs2 = cut(sf, 1) - div(1, 2)
+    rhs3 = cut(sf, 2) - div(2, 4)
 
     # sources (reference sw2d main.cpp:460-483; v-drag sign corrected)
     if meta.has_bathy:
@@ -547,22 +688,23 @@ def _rhs_blocked(h, hu, hv, t, ctrl, o: BlockedOps, meta: BlockedMeta):
 
     if ctrl is not None:
         for c in range(meta.n_ctrl):
-            rhs2 = rhs2 + ctrl[c] * o.BU[c]
-            rhs3 = rhs3 + ctrl[c] * o.BV[c]
+            rhs2 = rhs2 + ctrl[c] * BUa[c]
+            rhs3 = rhs3 + ctrl[c] * BVa[c]
     return rhs1, rhs2, rhs3
 
 
 def _eval_rhs(h, hu, hv, t, ctrl, o, meta, use_filter):
-    r1, r2, r3 = _rhs_blocked(h, hu, hv, t, ctrl, o, meta)
-    if use_filter:
-        Kp = meta.Kp
-        rf = _mm(o.FILT, jnp.concatenate([r1, r2, r3], axis=1))
-        r1, r2, r3 = rf[:, :Kp], rf[:, Kp:2 * Kp], rf[:, 2 * Kp:]
+    folded = meta.fold and use_filter
+    r1, r2, r3 = _rhs_blocked(h, hu, hv, t, ctrl, o, meta, folded)
+    if use_filter and not folded:
+        M = meta.M
+        rf = _vmm(o.FILT, jnp.concatenate([r1, r2, r3], axis=2), meta)
+        r1, r2, r3 = rf[:, :, :M], rf[:, :, M:2 * M], rf[:, :, 2 * M:]
     return r1, r2, r3
 
 
 def _step_values(h, hu, hv, t, ctrl, o, meta, dt, use_filter):
-    """One SSP-RK2 step (+ sponge relaxation) on transposed padded values.
+    """One SSP-RK2 step (+ sponge relaxation) on packed values.
     Stage times (t, t+dt/2) match timestepping.ssprk2_step."""
     k1 = _eval_rhs(h, hu, hv, t, ctrl, o, meta, use_filter)
     h1 = h + 0.5 * dt * k1[0]
@@ -606,7 +748,7 @@ def _step_kernel(meta, dt, t0, use_filter, has_ctrl,
 def sw2d_step_blocked(
     ops: BlockedOps,
     meta: BlockedMeta,
-    h: jnp.ndarray,  # (B, NP, Kp) packed states
+    h: jnp.ndarray,  # (B, p, NP, M) packed states
     hu: jnp.ndarray,
     hv: jnp.ndarray,
     ctrl: jnp.ndarray | None,  # (B, n_ctrl) or None
@@ -616,8 +758,8 @@ def sw2d_step_blocked(
     interpret: bool = False,
 ):
     """One fused SSP-RK2 step, grid over scenarios."""
-    B, NP, Kp = h.shape
-    state_spec = pl.BlockSpec((1, NP, Kp), lambda i: (i, 0, 0),
+    B, p, NP, M = h.shape
+    state_spec = pl.BlockSpec((1, p, NP, M), lambda i: (i, 0, 0, 0),
                               memory_space=pltpu.VMEM)
     op_specs = [
         pl.BlockSpec(op.shape, lambda i, nd=op.ndim: (0,) * nd,
@@ -633,7 +775,7 @@ def sw2d_step_blocked(
                                      memory_space=pltpu.SMEM))
     kernel = functools.partial(_step_kernel, meta, float(dt), float(t0),
                                use_filter, has_ctrl)
-    shp = jax.ShapeDtypeStruct((B, NP, Kp), h.dtype)
+    shp = jax.ShapeDtypeStruct((B, p, NP, M), h.dtype)
     return pl.pallas_call(
         kernel,
         grid=(B,),
@@ -714,7 +856,7 @@ def _rollout_kernel(meta, dt, t0, spc, n_steps, use_filter, has_ctrl,
 def sw2d_rollout_blocked(
     ops: BlockedOps,
     meta: BlockedMeta,
-    h: jnp.ndarray,  # (B, NP, Kp) packed initial states
+    h: jnp.ndarray,  # (B, p, NP, M) packed initial states
     hu: jnp.ndarray,
     hv: jnp.ndarray,
     ctrls: jnp.ndarray | None,  # (B, n_ctrl_steps, n_ctrl) or None
@@ -727,15 +869,15 @@ def sw2d_rollout_blocked(
     interpret: bool = False,
 ):
     """Fused SSP-RK2 rollout. Returns the final packed state triple, plus
-    the step-start trajectory (B, n_steps+1, NP, Kp) per field when
+    the step-start trajectory (B, n_steps+1, p, NP, M) per field when
     ``store_traj`` (for the MPC cost/adjoint)."""
-    B, NP, Kp = h.shape
+    B, p, NP, M = h.shape
     has_ctrl = ctrls is not None
     if has_ctrl:
         n_steps = ctrls.shape[1] * spc
     assert n_steps is not None
 
-    state_spec = pl.BlockSpec((1, NP, Kp), lambda i: (i, 0, 0),
+    state_spec = pl.BlockSpec((1, p, NP, M), lambda i: (i, 0, 0, 0),
                               memory_space=pltpu.VMEM)
     op_specs = [
         pl.BlockSpec(op.shape, lambda i, nd=op.ndim: (0,) * nd,
@@ -750,12 +892,12 @@ def sw2d_rollout_blocked(
             pl.BlockSpec((1, ctrls.shape[1], meta.n_ctrl),
                          lambda i: (i, 0, 0), memory_space=pltpu.SMEM))
 
-    shp = jax.ShapeDtypeStruct((B, NP, Kp), h.dtype)
+    shp = jax.ShapeDtypeStruct((B, p, NP, M), h.dtype)
     out_shape = [shp, shp, shp]
     out_specs = [state_spec, state_spec, state_spec]
-    scratch = [pltpu.VMEM((NP, Kp), h.dtype)] * 3
+    scratch = [pltpu.VMEM((p, NP, M), h.dtype)] * 3
     if store_traj:
-        tshp = jax.ShapeDtypeStruct((B, n_steps + 1, NP, Kp), h.dtype)
+        tshp = jax.ShapeDtypeStruct((B, n_steps + 1, p, NP, M), h.dtype)
         any_spec = pl.BlockSpec(memory_space=pl.ANY)
         out_shape = [tshp, tshp, tshp] + out_shape
         out_specs = [any_spec, any_spec, any_spec] + out_specs
@@ -796,7 +938,10 @@ def _rollout_bwd_kernel(meta, dt, t0, spc, n_steps, use_filter,
 
     for r in (l_h, l_hu, l_hv):
         r[:] = jnp.zeros_like(r)
-    cb_ref[:] = jnp.zeros_like(cb_ref)
+    # SMEM accepts only scalar stores on Mosaic — zero element-wise
+    for j in range(cb_ref.shape[1]):
+        for c in range(cb_ref.shape[2]):
+            cb_ref[0, j, c] = jnp.zeros((), cb_ref.dtype)
 
     def load(t):
         copies = [
@@ -861,7 +1006,7 @@ def _rollout_bwd_kernel(meta, dt, t0, spc, n_steps, use_filter,
 def sw2d_rollout_bwd_blocked(
     ops: BlockedOps,
     meta: BlockedMeta,
-    traj_h: jnp.ndarray,  # (B, n_steps+1, NP, Kp) stored forward trajectory
+    traj_h: jnp.ndarray,  # (B, n_steps+1, p, NP, M) stored fwd trajectory
     traj_hu: jnp.ndarray,
     traj_hv: jnp.ndarray,
     tb_h: jnp.ndarray,  # cotangents of the stored trajectory
@@ -874,11 +1019,11 @@ def sw2d_rollout_bwd_blocked(
     use_filter: bool = True,
     interpret: bool = False,
 ):
-    B, n_steps_p1, NP, Kp = traj_h.shape
+    B, n_steps_p1, p, NP, M = traj_h.shape
     n_steps = n_steps_p1 - 1
     n_ctrl_steps = ctrls.shape[1]
 
-    state_spec = pl.BlockSpec((1, NP, Kp), lambda i: (i, 0, 0),
+    state_spec = pl.BlockSpec((1, p, NP, M), lambda i: (i, 0, 0, 0),
                               memory_space=pltpu.VMEM)
     ctrl_spec = pl.BlockSpec((1, n_ctrl_steps, meta.n_ctrl),
                              lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
@@ -893,7 +1038,7 @@ def sw2d_rollout_bwd_blocked(
         _rollout_bwd_kernel, meta, float(dt), float(t0), spc, n_steps,
         use_filter,
     )
-    shp = jax.ShapeDtypeStruct((B, NP, Kp), traj_h.dtype)
+    shp = jax.ShapeDtypeStruct((B, p, NP, M), traj_h.dtype)
     return pl.pallas_call(
         kernel,
         grid=(B,),
@@ -905,7 +1050,7 @@ def sw2d_rollout_bwd_blocked(
         out_shape=(shp, shp, shp,
                    jax.ShapeDtypeStruct((B, n_ctrl_steps, meta.n_ctrl),
                                         ctrls.dtype)),
-        scratch_shapes=[pltpu.VMEM((NP, Kp), traj_h.dtype)] * 9
+        scratch_shapes=[pltpu.VMEM((p, NP, M), traj_h.dtype)] * 9
         + [pltpu.SemaphoreType.DMA((6,))],
         interpret=interpret,
     )(ctrls, *ops, traj_h, traj_hu, traj_hv, tb_h, tb_hu, tb_hv)
@@ -921,9 +1066,9 @@ def make_rollout_blocked(
     interpret: bool = False,
 ):
     """Differentiable fused blocked rollout: rollout(h, hu, hv, ctrls) ->
-    (traj_h, traj_hu, traj_hv) of step-start states (B, n_steps+1, NP, Kp),
-    with a custom VJP whose backward pass is the jax.vjp-in-kernel adjoint
-    (sw2d_rollout_bwd_blocked). The large-mesh twin of
+    (traj_h, traj_hu, traj_hv) of step-start states (B, n_steps+1, p, NP,
+    M), with a custom VJP whose backward pass is the jax.vjp-in-kernel
+    adjoint (sw2d_rollout_bwd_blocked). The large-mesh twin of
     sw2d_pallas.make_rollout."""
 
     @jax.custom_vjp

@@ -69,7 +69,9 @@ def test_blocked_step_unstructured_rcm():
     ops, meta = build_blocked_step_ops(ctx, phys, dtype=jnp.float64,
                                        trace_mode="rolls")
     assert meta.trace_mode == "rolls"
-    assert 0 < len(meta.combos) < 700  # RCM bounds the bandwidth
+    # RCM bounds the lane bandwidth to ~sqrt(K); sublane packing splits
+    # each base combo into <=2 (group, lane) combos, so the bound doubles
+    assert 0 < len(meta.combos) < 1300
 
     state = _initial(ctx)
     ref = sw2d_rhs(ctx, state, 0.0, phys)
