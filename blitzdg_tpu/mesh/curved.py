@@ -119,3 +119,93 @@ def circle_projection(cx: float, cy: float, radius: float) -> Callable:
         return cx + radius * dx / d, cy + radius * dy / d
 
     return project
+
+
+def boundary_loops(mesh: Mesh2D, bc_tag: int | None = None) -> list[np.ndarray]:
+    """Ordered boundary vertex loops (host-side). Walks the boundary edges
+    (optionally only those with the given BC tag) and chains them into
+    closed/open loops of vertex indices — the "boundary point cloud ->
+    ordered curve" step the reference does by sorting coordinates
+    (sw2d_curved.py:75-85)."""
+    K, Nf = mesh.etov.shape
+    bc = np.asarray(mesh.bc_type)
+    edges = []
+    for k in range(K):
+        for f in range(Nf):
+            if bc[k, f] > 0 and (bc_tag is None or bc[k, f] == bc_tag):
+                edges.append((int(mesh.etov[k, f]),
+                              int(mesh.etov[k, (f + 1) % Nf])))
+    nxt = {a: b for a, b in edges}
+    loops = []
+    seen = set()
+    for a, _ in edges:
+        if a in seen:
+            continue
+        loop = [a]
+        seen.add(a)
+        cur = a
+        while cur in nxt and nxt[cur] not in seen:
+            cur = nxt[cur]
+            loop.append(cur)
+            seen.add(cur)
+        closed = cur in nxt and nxt[cur] == loop[0]
+        loops.append(np.asarray(loop, dtype=np.int64) if not closed
+                     else np.asarray(loop + [loop[0]], dtype=np.int64))
+    return loops
+
+
+def spline_boundary_projection(
+    points: np.ndarray,  # (n, 2) ordered boundary points
+    periodic: bool = True,
+    smoothing: float = 0.0,
+    n_samples: int = 4096,
+) -> Callable:
+    """Spline-fit boundary adapter: fit a parametric spline through an
+    ORDERED boundary point list and return a ``project(x, y) -> (xc, yc)``
+    closest-point projection onto the fitted curve — the functional
+    equivalent of the reference's splrep/splev boundary parameterization
+    (sw2d_curved.py:81-100, meshhelpers/curved.py:5-50), packaged so the
+    Gordon-Hall deformation (`gordon_hall_deform`) can consume real
+    coastline point data directly.
+
+    Projection = dense arc-length sampling + one Newton refinement of the
+    squared-distance minimization (host-side, setup only).
+    """
+    from scipy.interpolate import splev, splprep
+
+    pts = np.asarray(points, dtype=float)
+    if periodic and np.hypot(*(pts[0] - pts[-1])) > 1e-12:
+        pts = np.vstack([pts, pts[0]])
+    (tck, _) = splprep([pts[:, 0], pts[:, 1]], s=smoothing, per=periodic,
+                       k=3)
+    uu = np.linspace(0.0, 1.0, n_samples, endpoint=not periodic)
+    cx, cy = splev(uu, tck)
+    cx, cy = np.asarray(cx), np.asarray(cy)
+
+    def project(x, y):
+        d2 = (cx - x) ** 2 + (cy - y) ** 2
+        i = int(np.argmin(d2))
+        u = uu[i]
+        # one Newton step on g(u) = d/du |c(u) - p|^2
+        for _ in range(3):
+            px, py = splev(u, tck)
+            dx, dy = splev(u, tck, der=1)
+            ddx, ddy = splev(u, tck, der=2)
+            ex, ey = px - x, py - y
+            g = ex * dx + ey * dy
+            gp = dx * dx + dy * dy + ex * ddx + ey * ddy
+            if abs(gp) < 1e-30:
+                break
+            u_new = u - g / gp
+            if periodic:
+                u_new = u_new % 1.0
+            else:
+                u_new = min(max(u_new, 0.0), 1.0)
+            if abs(u_new - u) < 1e-14:
+                u = u_new
+                break
+            u = u_new
+        px, py = splev(u, tck)
+        return float(px), float(py)
+
+    return project

@@ -54,6 +54,7 @@ def sw2d_curved_rhs(
     phys: SWPhysics,
     zx: jnp.ndarray | None = None,  # bed slope d(z)/dx at nodal points
     zy: jnp.ndarray | None = None,
+    tidal_forcing=None,  # callable t -> prescribed total depth on BC_OUT
 ) -> SWStateTracer:
     """Weak-form RHS; state fields are (K, Np)."""
     K = ctx.k_elem
@@ -93,6 +94,17 @@ def sw2d_curved_rhs(
     un2 = 2.0 * (huM[wall] * nxf[wall] + hvM[wall] * nyf[wall])
     huP = huP.at[wall].set(jnp.where(wmask, huM[wall] - un2 * nxf[wall], huP[wall]))
     hvP = hvP.at[wall].set(jnp.where(wmask, hvM[wall] - un2 * nyf[wall], hvP[wall]))
+
+    # tidal open boundary on Gauss trace nodes (mirror of the nodal path,
+    # reference sw2d/main.cpp:347-353): prescribe total depth on BC_OUT
+    if tidal_forcing is not None:
+        from ..context import BC_OUT
+
+        ob = gauss.bc_idx[BC_OUT]
+        omask = gauss.bc_mask[BC_OUT]
+        h_bc = jnp.broadcast_to(
+            jnp.asarray(tidal_forcing(t), dtype=hP.dtype), ob.shape)
+        hP = hP.at[ob].set(jnp.where(omask, h_bc, hP[ob]))
 
     (F1M, F2M, F3M, F4M), (G1M, G2M, G3M, G4M) = _fluxes(hM, huM, hvM, hNM, g)
     (F1P, F2P, F3P, F4P), (G1P, G2P, G3P, G4P) = _fluxes(hP, huP, hvP, hNP, g)

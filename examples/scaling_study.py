@@ -87,18 +87,43 @@ def main():
     mesh0 = box_triangles(CELLS, CELLS)
     print(f"strong scaling, K={2 * CELLS * CELLS} triangles, N={N_ORDER}, "
           f"{N_STEPS} SSP-RK2 steps, platform={devices[0].platform}")
+    rows = []
     t1 = None
     for n in counts:
         t = run_sharded(mesh0, n, devices)
         if t1 is None:
             t1 = t
         eff = t1 / (n * t)
+        rows.append({"devices": n, "us_per_step": round(t * 1e6, 1),
+                     "speedup": round(t1 / t, 3),
+                     "efficiency_pct": round(eff * 100, 1)})
         print(f"  devices={n}: {t * 1e6:8.1f} us/step   "
               f"speedup x{t1 / t:5.2f}   efficiency {eff * 100:5.1f}%")
     if devices[0].platform == "cpu":
         print("NOTE: virtual CPU devices share one machine's FLOPs — "
               "efficiencies here validate the plumbing, not the hardware; "
               "run on a pod slice for the real numbers.")
+    out = os.environ.get("SCALING_JSON")
+    if out:
+        import json
+
+        payload = {
+            "workload": {"K": 2 * CELLS * CELLS, "N": N_ORDER,
+                         "steps": N_STEPS, "dt": DT,
+                         "kind": "strong scaling, element-sharded "
+                                 "ppermute-halo SSP-RK2"},
+            "platform": devices[0].platform,
+            "device_kind": getattr(devices[0], "device_kind",
+                                   devices[0].platform),
+            "rows": rows,
+            "recipe": "same shard_map program at every device count; only "
+                      "the jax.sharding.Mesh changes; time = best-of-3 "
+                      "mean over 100 fused steps after one warmup",
+        }
+        mode = "a" if os.path.exists(out) else "w"
+        with open(out, mode) as f:
+            f.write(json.dumps(payload) + "\n")
+        print(f"wrote {out}")
 
 
 if __name__ == "__main__":

@@ -288,3 +288,149 @@ class TestCurvedPoisson:
         assert int(res.flag) == CONV_SUCCESS
         err = np.abs(np.asarray(res.x).reshape(x2.shape) - uex).max()
         assert err < 1e-3, err
+
+
+class TestReferenceScaleCircle8km:
+    """The reference-scale curved coastal workload: R_8km_circle.msh
+    (K=858 — the mesh the reference's own sw2d.py drives), N=4, cubature
+    order 3(N+1), Gauss faces 2(N+1) (reference sw2d_curved.py:47,117,148),
+    with the spline-fit boundary adapter (points -> parametric curve ->
+    projection, functional equivalent of sw2d_curved.py:81-100)."""
+
+    N = 4
+
+    @classmethod
+    def _build(cls):
+        import jax.numpy as jnp
+
+        from blitzdg_tpu.mesh.curved import (
+            boundary_loops,
+            spline_boundary_projection,
+        )
+        from blitzdg_tpu.mesh.gmsh import read_gmsh
+
+        if not hasattr(cls, "_cache"):
+            mesh = read_gmsh("/root/reference/input/R_8km_circle.msh")
+            loops = boundary_loops(mesh)
+            assert len(loops) == 1  # one closed coastline
+            pts = mesh.verts[loops[0][:-1]]
+            proj = spline_boundary_projection(pts, periodic=True)
+            curved_faces = snap_boundary_vertices(mesh, proj, tol=100.0)
+            ctx0 = build_triangle_context(cls.N, mesh, dtype=None)
+            x2, y2, curved_els = gordon_hall_deform(
+                cls.N, mesh, ctx0.x, ctx0.y, curved_faces, proj)
+            ctx = build_triangle_context(cls.N, mesh, coords=(x2, y2),
+                                         filter_cutoff=0.9 * cls.N,
+                                         filter_order=4)
+            cub = build_cubature_context(cls.N, mesh, x2, y2, ctx0.V,
+                                         order=3 * (cls.N + 1))
+            gauss = build_gauss_face_context(cls.N, mesh, x2, y2, ctx0.V,
+                                             n_gauss=2 * (cls.N + 1))
+            cls._cache = (mesh, ctx, cub, gauss, curved_faces, curved_els)
+        return cls._cache
+
+    def test_spline_fit_boundary(self):
+        mesh, ctx, cub, gauss, curved_faces, curved_els = self._build()
+        # every coastline face is curved, and the fitted spline passes
+        # through the 64 boundary vertices (interpolating fit)
+        assert len(curved_faces) == 64
+        assert len(curved_els) == 64
+        # curved area ~ area enclosed by the spline: within 0.1% of the
+        # circle through the outermost vertices (the mesh's own polygon
+        # area is ~0.4% small — the deformation must recover most of it)
+        area = float(jnp.sum(cub.W))
+        circle = np.pi * 8000.0**2
+        assert abs(area - circle) / circle < 1.5e-3
+    def test_lake_at_rest_curved_reference_mesh(self):
+        """Constant free surface at rest stays at rest through the curved
+        weak-form RHS on the deformed reference mesh (free-stream/GCL)."""
+        mesh, ctx, cub, gauss, _, _ = self._build()
+        H = 10.0
+        state = SWStateTracer(
+            h=H + jnp.zeros_like(ctx.x), hu=jnp.zeros_like(ctx.x),
+            hv=jnp.zeros_like(ctx.x), hN=jnp.zeros_like(ctx.x))
+        phys = SWPhysics(g=9.81)
+        r = sw2d_curved_rhs(ctx, cub, gauss, state, 0.0, phys)
+        # scale: g*H^2/L ~ 1e-2; machine-level cancellation required
+        for f in (r.h, r.hu, r.hv, r.hN):
+            assert float(jnp.max(jnp.abs(f))) < 1e-8
+
+    def test_tidal_coastal_run_finite_and_conservative(self):
+        """Short coastal run with the full physics set — tidal BC_OUT
+        forcing on an eastern arc, tanh-ramp spatial drag (reference
+        sw2d_curved.py:166-185), Coriolis, sponge near the open boundary —
+        stays finite and conserves mass to quadrature accuracy while the
+        walls are closed (flux only through the small forced arc)."""
+        from blitzdg_tpu.context import BC_OUT
+        from blitzdg_tpu.mesh.curved import (
+            boundary_loops,
+            spline_boundary_projection,
+        )
+        from blitzdg_tpu.mesh.gmsh import read_gmsh
+        from blitzdg_tpu.utils import build_sponge_coefficient
+
+        mesh = read_gmsh("/root/reference/input/R_8km_circle.msh")
+        bc = np.asarray(mesh.bc_type).copy()
+        mids = 0.5 * (mesh.verts[mesh.etov]
+                      + mesh.verts[np.roll(mesh.etov, -1, axis=1)])
+        open_faces = (bc > 0) & (mids[:, :, 0] > 6500.0)
+        bc[open_faces] = BC_OUT
+        mesh.set_bc_type(bc)
+        assert open_faces.sum() > 0
+
+        loops = boundary_loops(mesh)
+        pts = mesh.verts[loops[0][:-1]]
+        proj = spline_boundary_projection(pts, periodic=True)
+        curved_faces = snap_boundary_vertices(mesh, proj, tol=100.0)
+        ctx0 = build_triangle_context(self.N, mesh, dtype=None)
+        x2, y2, _ = gordon_hall_deform(self.N, mesh, ctx0.x, ctx0.y,
+                                       curved_faces, proj)
+        ctx = build_triangle_context(self.N, mesh, coords=(x2, y2),
+                                     filter_cutoff=0.9 * self.N,
+                                     filter_order=4)
+        cub = build_cubature_context(self.N, mesh, x2, y2, ctx0.V,
+                                     order=3 * (self.N + 1))
+        gauss = build_gauss_face_context(self.N, mesh, x2, y2, ctx0.V,
+                                         n_gauss=2 * (self.N + 1))
+
+        H0 = 10.0
+        # tanh drag ramp from the coast (reference sw2d_curved.py:170-185)
+        r = np.hypot(np.asarray(ctx.x), np.asarray(ctx.y))
+        dist = 8000.0 - r
+        ltol = 800.0
+        cd = 2.5e-3 * 0.5 * (1.0 - np.tanh((dist - 0.5 * ltol) / (0.1 * ltol)))
+        ob_mask = np.asarray(ctx.bc_table)[:, :, None].repeat(
+            ctx.n_fp, 2).reshape(ctx.k_elem, -1) == BC_OUT
+        sponge = build_sponge_coefficient(ctx, ob_mask, width=1500.0,
+                                          strength=5e-3)
+        phys = SWPhysics(g=9.81, cd=jnp.asarray(cd), f_cor=7.88e-5,
+                         sponge=sponge)
+        tidal = lambda t: H0 + 0.25 * jnp.cos(2 * np.pi * t / 3600.0) \
+            * jnp.minimum(t / 600.0, 1.0)
+
+        state = SWStateTracer(
+            h=H0 + jnp.zeros_like(ctx.x), hu=jnp.zeros_like(ctx.x),
+            hv=jnp.zeros_like(ctx.x),
+            hN=jnp.exp(-(((ctx.y - 2500.0) / 2000.0) ** 2)))
+        rhs = lambda s, t: sw2d_curved_rhs(ctx, cub, gauss, s, t, phys,
+                                           tidal_forcing=tidal)
+
+        # CFL dt (reference sw2d.py:225 formula)
+        c = float(np.sqrt(9.81 * H0))
+        fs = np.abs(np.asarray(ctx.fscale)).max()
+        dt = 0.6 / (((self.N + 1) ** 2) * 0.5 * fs * c)
+
+        mass0 = float(jnp.sum(cub.W * (state.h @ cub.V.T)))
+        t = 0.0
+        fac = 1.0 / (1.0 + dt * phys.sponge)
+        for _ in range(20):
+            state = ssprk2_step(rhs, state, t, dt)
+            state = SWStateTracer(
+                h=H0 + (state.h - H0) * fac, hu=state.hu * fac,
+                hv=state.hv * fac, hN=state.hN * fac)
+            t += dt
+        h = np.asarray(state.h)
+        assert np.isfinite(h).all()
+        mass1 = float(jnp.sum(cub.W * (state.h @ cub.V.T)))
+        # only the small tidal arc exchanges mass; drift stays tiny
+        assert abs(mass1 - mass0) / mass0 < 1e-5
