@@ -280,12 +280,16 @@ def assemble_poisson2d(ctx: DGContext2D, bordered: bool = False):
     vmapM = np.asarray(ctx.vmapM).reshape(K, n_faces, n_fp)
     vmapP = np.asarray(ctx.vmapP).reshape(K, n_faces, n_fp)
 
-    # 1D edge mass matrices on each face's nodes
+    # 1D edge mass matrices on each face's nodes. Element-shape generic
+    # like the reference operator (consumed on quads by ins2d,
+    # src/ins2d/main.cpp:169-188): the face coordinate is the one that
+    # varies along each face — (r, r, s) on triangles, (r, s, r, s) on
+    # quads (f0: s=-1, f1: r=+1, f2: s=+1, f3: r=-1).
     r = np.asarray(ctx.r)
     s = np.asarray(ctx.s)
     from ..specgrid.vandermonde import vandermonde_1d
 
-    face_coord = (r, r, s)
+    face_coord = (r, r, s) if n_faces == 3 else (r, s, r, s)
     mass_edge = []
     for f in range(n_faces):
         fr = face_coord[f][fmask[f]]

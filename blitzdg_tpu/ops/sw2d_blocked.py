@@ -141,6 +141,10 @@ class BlockedMeta(NamedTuple):
     win: int = 0  # one-hot source-window width (lanes)
     block_starts: tuple = ()  # per-block static window starts
     precision: str = "highest"  # MXU pass count: highest=f32, high=bf16x3
+    # wetting/drying (ops.sw2d_wetdry in-kernel): minmod surface
+    # reconstruction of the traces + per-stage positivity limiter + taper
+    wetdry: bool = False
+    h_floor: float = 1e-3
 
 
 def matmul_flops_per_step(meta: BlockedMeta) -> float:
@@ -168,6 +172,8 @@ def build_blocked_step_ops(
     pack: int | str = "auto",  # element groups per sublane stack
     fold_filter: bool | str = "auto",
     precision: str = "highest",
+    wetdry: bool = False,
+    h_floor: float = 1e-3,
 ) -> tuple[BlockedOps, BlockedMeta]:
     """Freeze the blocked operator set (host-side, once at setup).
 
@@ -405,8 +411,10 @@ def build_blocked_step_ops(
         tidal=tuple(float(v) for v in tidal) if tidal is not None else None,
         combos=combos,
         trace_mode=trace_mode, win=win, block_starts=block_starts,
-        precision=precision,
+        precision=precision, wetdry=wetdry, h_floor=float(h_floor),
     )
+    if wetdry and not has_bathy:
+        raise ValueError("wetdry needs bathymetry (phys.H)")
     return ops, meta
 
 
@@ -604,7 +612,35 @@ def _rhs_blocked(h, hu, hv, t, ctrl, o: BlockedOps, meta: BlockedMeta,
     hM = jnp.where(o.tmask > 0, hM, 1.0)
     hP = jnp.where(o.tmask > 0, hP, 1.0)
 
-    if meta.wb:
+    if meta.wetdry:
+        # hydrostatic minmod surface reconstruction + desingularized
+        # velocities (ops.sw2d_wetdry.sw2d_rhs_wetdry in-kernel; reference
+        # intent swhelpers/limiters.py:36-81) — all (p, NT, M) VPU algebra
+        from .limiters import surface_reconstruction
+
+        etaM, etaP = hM - o.HMt, hP - o.HPt
+        hMs, hPs = surface_reconstruction(etaM, hM, etaP, hP, meta.h_floor)
+        eps2 = (4.0 * meta.h_floor) ** 2
+
+        def vel(hh, hhu, hhv):
+            inv = hh / (hh * hh + jnp.maximum(hh * hh, eps2)) * 2.0
+            return hhu * inv, hhv * inv
+
+        uM, vM = vel(hM, huM, hvM)
+        uP, vP = vel(hP, huP, hvP)
+        corr = (hM - hMs) * (uM * o.nx + vM * o.ny)
+
+        def flux_uv(hh, uu, vv):
+            pr = 0.5 * g * hh * hh
+            return (hh * uu, hh * uu * uu + pr, hh * uu * vv,
+                    hh * vv, hh * uu * vv, hh * vv * vv + pr)
+
+        F1M, F2M, F3M, G1M, G2M, G3M = flux_uv(hMs, uM, vM)
+        F1P, F2P, F3P, G1P, G2P, G3P = flux_uv(hPs, uP, vP)
+        spdM = _safe_norm(uM, vM) + jnp.sqrt(g * hMs)
+        spdP = _safe_norm(uP, vP) + jnp.sqrt(g * hPs)
+        dh, dhu, dhv = hMs - hPs, F1M - F1P, G1M - G1P
+    elif meta.wb:
         # hydrostatic-reconstruction star variables (ops.sw2d._lf_flux_jumps;
         # reference sw2d/main.cpp:356-368, 419-421 intent)
         uM, vM = huM / hM, hvM / hM
@@ -652,11 +688,21 @@ def _rhs_blocked(h, hu, hv, t, ctrl, o: BlockedOps, meta: BlockedMeta,
 
     # volume fluxes: only 5 distinct fields (F1=hu, G1=hv, G2 shared):
     # [hu, F2, G2, hv, G3] — derivatives in 2 stacked full-height matmuls
-    inv_h = 1.0 / h
-    pr = 0.5 * g * h * h
-    F2 = hu * hu * inv_h + pr
-    G2 = hu * hv * inv_h
-    G3 = hv * hv * inv_h + pr
+    if meta.wetdry:
+        # desingularized volume velocities (Kurganov-Petrova style)
+        eps2v = (4.0 * meta.h_floor) ** 2
+        inv_h = 2.0 * h / (h * h + jnp.maximum(h * h, eps2v))
+        uvol, vvol = hu * inv_h, hv * inv_h
+        pr = 0.5 * g * h * h
+        F2 = h * uvol * uvol + pr
+        G2 = h * uvol * vvol
+        G3 = h * vvol * vvol + pr
+    else:
+        inv_h = 1.0 / h
+        pr = 0.5 * g * h * h
+        F2 = hu * hu * inv_h + pr
+        G2 = hu * hv * inv_h
+        G3 = hv * hv * inv_h + pr
     FG = jnp.concatenate([hu, F2, G2, hv, G3], axis=2)
     FGr = _vmm(DRa, FG, meta)
     FGs = _vmm(DSa, FG, meta)
@@ -675,10 +721,19 @@ def _rhs_blocked(h, hu, hv, t, ctrl, o: BlockedOps, meta: BlockedMeta,
 
     # sources (reference sw2d main.cpp:460-483; v-drag sign corrected)
     if meta.has_bathy:
-        rhs2 = rhs2 + g * h * o.Hx
-        rhs3 = rhs3 + g * h * o.Hy
+        if meta.wetdry:
+            # dry cells: no bed-slope forcing (sw2d_rhs_wetdry wet mask)
+            wet = jnp.where(h > 5.0 * meta.h_floor, 1.0, 0.0)
+            rhs2 = rhs2 + g * h * o.Hx * wet
+            rhs3 = rhs3 + g * h * o.Hy * wet
+        else:
+            rhs2 = rhs2 + g * h * o.Hx
+            rhs3 = rhs3 + g * h * o.Hy
     if meta.cd != 0.0:
-        u, v = hu / h, hv / h
+        if meta.wetdry:
+            u, v = uvol, vvol
+        else:
+            u, v = hu / h, hv / h
         nrm = _safe_norm(u, v)
         rhs2 = rhs2 - meta.cd * nrm * u
         rhs3 = rhs3 - meta.cd * nrm * v
@@ -703,6 +758,34 @@ def _eval_rhs(h, hu, hv, t, ctrl, o, meta, use_filter):
     return r1, r2, r3
 
 
+def _limit_packed(h, hu, hv, o, meta: BlockedMeta):
+    """Per-stage positivity limiter + near-dry momentum taper on packed
+    values (ops.sw2d_wetdry.ssprk2_step_wetdry's `limit`, reference intent
+    swhelpers/limiters.py:3-21): Zhang-Shu squash toward the arithmetic
+    nodal mean, per element = per (group, lane) over the valid node rows."""
+    n_p, h_floor = meta.n_p, meta.h_floor
+    mean = lambda f: jnp.sum(f * o.vmask, axis=1, keepdims=True) / n_p
+    hmin = jnp.min(jnp.where(o.vmask > 0, h, 1e30), axis=1, keepdims=True)
+    hmean = mean(h)
+    need = hmin < h_floor
+    denom = jnp.where(need, hmean - hmin, 1.0)
+    theta = jnp.where(
+        need,
+        jnp.clip((hmean - h_floor) / jnp.where(denom > 0, denom, 1.0),
+                 0.0, 1.0),
+        1.0,
+    )
+    humean, hvmean = mean(hu), mean(hv)
+    h2 = hmean + theta * (h - hmean)
+    hu2 = humean + theta * (hu - humean)
+    hv2 = hvmean + theta * (hv - hvmean)
+    taper = jnp.clip((h2 - h_floor) / (4.0 * h_floor), 0.0, 1.0)
+    # keep the padding rows/lanes exactly as they were (zeros)
+    return (jnp.where(o.vmask > 0, h2, h),
+            jnp.where(o.vmask > 0, hu2 * taper, hu),
+            jnp.where(o.vmask > 0, hv2 * taper, hv))
+
+
 def _step_values(h, hu, hv, t, ctrl, o, meta, dt, use_filter):
     """One SSP-RK2 step (+ sponge relaxation) on packed values.
     Stage times (t, t+dt/2) match timestepping.ssprk2_step."""
@@ -710,8 +793,12 @@ def _step_values(h, hu, hv, t, ctrl, o, meta, dt, use_filter):
     h1 = h + 0.5 * dt * k1[0]
     hu1 = hu + 0.5 * dt * k1[1]
     hv1 = hv + 0.5 * dt * k1[2]
+    if meta.wetdry:
+        h1, hu1, hv1 = _limit_packed(h1, hu1, hv1, o, meta)
     k2 = _eval_rhs(h1, hu1, hv1, t + 0.5 * dt, ctrl, o, meta, use_filter)
     h, hu, hv = h + dt * k2[0], hu + dt * k2[1], hv + dt * k2[2]
+    if meta.wetdry:
+        h, hu, hv = _limit_packed(h, hu, hv, o, meta)
     if meta.has_sponge:
         # ops.sw2d.sponge_relax: relax toward rest (h=H, zero momentum)
         fac = 1.0 / (1.0 + dt * o.SPNG)
