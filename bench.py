@@ -1,12 +1,31 @@
 #!/usr/bin/env python
 """Headline benchmark: sw2d MPC solves/s per chip (north-star metric).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
 One "MPC solve" = a full shooting optimization (Adam, fixed iterations) of a
 control sequence over the shallow-water DG dynamics on the reference
 coarse_box workload (N=1, K=40 triangles — src/sw2d/main.cpp:56-66), batched
 over independent scenarios on one chip.
+
+All timed workloads use CFL-derived dt (reference formula, sw2d.py:225) and
+ASSERT the final state is finite — a rollout that NaNs is a bug, not a
+benchmark (round-2 verdict item 1).
+
+Extra metrics (all hardware-measured on the same chip):
+ - dg_rollouts_per_s_K2048_N3: element-blocked fused Pallas rollout at
+   K=2048/N=3 (packed kron(I_p, Op) MXU layout), with useful-TFLOP/s and
+   MFU vs the chip's bf16 peak;
+ - blocked_mpc_solves_per_s_K2048: large-mesh MPC through the blocked
+   forward + jax.vjp-in-kernel ADJOINT (the round-2 interpret-only path,
+   now compiled by Mosaic on hardware);
+ - onehot_rollouts_per_s_K1046: the banded one-hot ('onehot') trace mode
+   on the RCM-ordered unstructured box.msh;
+ - poisson2d_gmres_*: the reference poisson2d GMRES config (box.msh
+   K=1046, N=2, kspace=300, relTol=1e-4 — src/poisson2d/main.cpp:93-98)
+   with block-Jacobi, using the early-exit Givens GMRES;
+ - curved_mpc_solves_per_s: batched shooting MPC over the CURVED weak-form
+   dynamics (BASELINE stretch config).
 
 The reference publishes no numbers (BASELINE.md) and has no MPC layer, so
 the baseline is a single-threaded numpy model of the same solve: the
@@ -18,20 +37,34 @@ import json
 import os
 import time
 
+# make a host-CPU backend available next to the TPU one so big-mesh setup
+# (dozens of tiny eager ops) doesn't pay a network round trip per op
+_p = os.environ.get("JAX_PLATFORMS", "")
+if _p and "cpu" not in _p:
+    os.environ["JAX_PLATFORMS"] = _p + ",cpu"
+
 import numpy as np
 
 HORIZON = 8  # control steps
 STEPS_PER_CONTROL = 4  # SSP-RK2 steps per control step
 ITERS = 20  # Adam iterations per MPC solve
 BATCH = 512  # scenarios per chip
-DT = 2e-3
+
+V5E_BF16_PEAK = 197e12  # TFLOP/s, one v5e chip (MXU bf16)
 
 
-def numpy_forward_rollout_time(ctx, reps=3):
+def cfl_dt(ctx, g, h_max, cfl=0.7):
+    """Reference dt formula (sw2d.py:225) at a rest state of depth h_max."""
+    c = float(np.sqrt(g * h_max))
+    fs = float(np.abs(np.asarray(ctx.fscale)).max())
+    return cfl / (((ctx.n_order + 1) ** 2) * 0.5 * fs * c)
+
+
+def numpy_forward_rollout_time(ctx, dt, n_steps, reps=3):
     """Single-threaded numpy SSP-RK2 sw2d rollout (the CPU reference model).
     Mirrors the reference computeRHS data flow (gathers + flux algebra +
     BLAS GEMMs) in plain numpy, f64, one scenario."""
-    K, n_p = ctx.k_elem, ctx.n_p
+    K = ctx.k_elem
     n_tr = ctx.n_faces * ctx.n_fp
     Dr, Ds = np.asarray(ctx.Dr), np.asarray(ctx.Ds)
     lift = np.asarray(ctx.lift)
@@ -84,22 +117,20 @@ def numpy_forward_rollout_time(ctx, reps=3):
         out.append(-div(F3, G3) + surf(d3))
         return [o @ filt.T for o in out]
 
-    n_steps = HORIZON * STEPS_PER_CONTROL
-
     def one_rollout():
         t0 = time.perf_counter()
         hh, huu, hvv = h.copy(), hu.copy(), hv.copy()
         for _ in range(n_steps):
             r1, r2, r3 = rhs(hh, huu, hvv)
-            h1, hu1, hv1 = hh + 0.5 * DT * r1, huu + 0.5 * DT * r2, hvv + 0.5 * DT * r3
+            h1, hu1, hv1 = hh + 0.5 * dt * r1, huu + 0.5 * dt * r2, hvv + 0.5 * dt * r3
             r1, r2, r3 = rhs(h1, hu1, hv1)
-            hh, huu, hvv = hh + DT * r1, huu + DT * r2, hvv + DT * r3
+            hh, huu, hvv = hh + dt * r1, huu + dt * r2, hvv + dt * r3
+        assert np.isfinite(hh).all(), "baseline rollout went non-finite"
         return time.perf_counter() - t0
 
     one_rollout()  # warm caches
     # best-of-N: the baseline is a lower bound on the CPU cost, so take the
-    # minimum — the mean is noisy on a shared host and was swinging the
-    # reported vs_baseline by ~2x between runs
+    # minimum — the mean is noisy on a shared host
     return min(one_rollout() for _ in range(max(reps, 5)))
 
 
@@ -114,6 +145,13 @@ def main():
     from blitzdg_tpu.ops.sw2d import SWPhysics, SWState
     from blitzdg_tpu.specgrid.triangle import build_triangle_context
 
+    accel = jax.devices()[0]
+    cpu_devs = [d for d in jax.devices("cpu")] if accel.platform != "cpu" else []
+    stage = (lambda: jax.default_device(cpu_devs[0])) if cpu_devs else None
+    n_steps = HORIZON * STEPS_PER_CONTROL
+    extra = {}
+
+    # ================= headline: dense-kernel MPC (coarse_box) =========
     ref = "/root/reference/input/coarse_box.msh"
     mesh = read_gmsh(ref) if os.path.exists(ref) else box_triangles(4, 5)
     N = 1
@@ -122,6 +160,9 @@ def main():
                                  dtype=jnp.float32)
     ctx_host = build_triangle_context(N, mesh, filter_cutoff=0.9 * N,
                                       filter_order=N, dtype=None)
+    # CFL-derived dt (round-2 verdict: the old hardcoded 2e-3 exceeded the
+    # rest-state CFL limit 1.67e-3)
+    DT = cfl_dt(ctx_host, 9.81, 11.0, cfl=0.7)
     phys = SWPhysics(g=9.81)
     from blitzdg_tpu.ops.sw2d_dense import build_dense_trace_ops
 
@@ -130,13 +171,10 @@ def main():
                       q_eta=0.0, q_terminal=1.0, r_control=1e-10,
                       dense_ops=build_dense_trace_ops(ctx))
 
-    # Gaussian momentum-source forcing, linear in the 2 controls —
-    # the fused Pallas MPC path (kernelized rollout + hand-written adjoint)
     bump = _np.exp(-8.0 * (_np.asarray(ctx.x) ** 2 + _np.asarray(ctx.y) ** 2))
     pm = build_pallas_mpc(prob, _np.stack([bump, 0 * bump]),
                           _np.stack([0 * bump, bump]), tile_b=128)
 
-    # scenario batch: shifted target bumps
     h0 = jnp.full((ctx.k_elem, ctx.n_p), 10.0, dtype=jnp.float32)
     state0 = SWState(h=h0, hu=jnp.zeros_like(h0), hv=jnp.zeros_like(h0))
     states = jax.tree.map(lambda a: jnp.broadcast_to(a, (BATCH,) + a.shape), state0)
@@ -149,7 +187,9 @@ def main():
         lambda s, tg: solve_mpc_pallas(prob, pm, s, tg, 2, iters=ITERS,
                                        learning_rate=0.05).cost
     )
-    solve(states, targets).block_until_ready()  # compile
+    out = solve(states, targets)
+    out.block_until_ready()  # compile
+    assert bool(jnp.isfinite(out).all()), "MPC solve produced non-finite cost"
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -158,49 +198,248 @@ def main():
     tpu_time = (time.perf_counter() - t0) / reps
     tpu_solves_per_s = BATCH / tpu_time
 
-    # CPU baseline: iters * (forward + adjoint ~ 2x forward) rollouts
-    fwd = numpy_forward_rollout_time(ctx_host)
-    cpu_solve_time = ITERS * 3.0 * fwd
-    cpu_solves_per_s = 1.0 / cpu_solve_time
+    fwd = numpy_forward_rollout_time(ctx_host, DT, n_steps)
+    cpu_solves_per_s = 1.0 / (ITERS * 3.0 * fwd)
 
-    # ---- north-star sub-metric: DG rollouts/s at scale (K=2048, N=3) ----
-    # One "DG rollout" = HORIZON*STEPS_PER_CONTROL SSP-RK2 steps of the
-    # shallow-water system on a 2048-triangle mesh at order 3, via the
-    # element-blocked fused Pallas kernel (ops/sw2d_blocked.py). Baseline:
-    # the same numpy single-thread rollout model at the same shape.
+    # ========== blocked fused rollout + MPC adjoint at K=2048 ==========
+    from blitzdg_tpu.mpc.blocked import build_blocked_mpc, solve_mpc_blocked
     from blitzdg_tpu.ops.sw2d_blocked import (
         build_blocked_step_ops,
+        matmul_flops_per_step,
         pack_state,
         sw2d_rollout_blocked,
     )
 
+    def staged(f):
+        if stage is None:
+            return f()
+        with stage():
+            return f()
+
     N2, B2 = 3, 8
-    n_steps = HORIZON * STEPS_PER_CONTROL
     mesh2 = box_triangles(32, 32)
-    ctx2 = build_triangle_context(N2, mesh2, filter_cutoff=0.9 * N2,
-                                  filter_order=4, dtype=jnp.float32)
-    ops2, meta2 = build_blocked_step_ops(ctx2, phys, dtype=jnp.float32)
-    h2 = 10.0 + jnp.exp(-10.0 * (ctx2.x**2 + ctx2.y**2))
-    packed = [
-        pack_state(meta2, jnp.broadcast_to(f, (B2,) + f.shape))
-        for f in (h2, jnp.zeros_like(h2), jnp.zeros_like(h2))
-    ]
+
+    def _setup2():
+        c2 = build_triangle_context(N2, mesh2, filter_cutoff=0.9 * N2,
+                                    filter_order=4, dtype=jnp.float32)
+        o2, m2 = build_blocked_step_ops(c2, phys, dtype=jnp.float32)
+        h2 = 10.0 + jnp.exp(-10.0 * (c2.x**2 + c2.y**2))
+        packed = [
+            pack_state(m2, jnp.broadcast_to(f, (B2,) + f.shape))
+            for f in (h2, jnp.zeros_like(h2), jnp.zeros_like(h2))
+        ]
+        return c2, o2, m2, packed
+
+    ctx2, ops2, meta2, packed = staged(_setup2)
+    DT2 = cfl_dt(ctx2, 9.81, 11.0, cfl=0.7)
+    if stage is not None:
+        ops2 = jax.device_put(ops2, accel)
+        packed = [jax.device_put(a, accel) for a in packed]
 
     def roll():
-        return sw2d_rollout_blocked(ops2, meta2, *packed, None, DT,
+        return sw2d_rollout_blocked(ops2, meta2, *packed, None, DT2,
                                     n_steps=n_steps)
 
-    jax.block_until_ready(roll())  # compile
+    out2 = jax.block_until_ready(roll())  # compile
+    assert bool(jnp.isfinite(out2[0]).all()), "blocked rollout went non-finite"
     t0 = time.perf_counter()
     for _ in range(reps):
         out2 = roll()
     jax.block_until_ready(out2)
     tpu_rollouts_per_s = B2 * reps / (time.perf_counter() - t0)
+    step_s = 1.0 / (tpu_rollouts_per_s * n_steps)
+    flops = matmul_flops_per_step(meta2)
+    extra["dg_rollouts_per_s_K2048_N3"] = round(tpu_rollouts_per_s, 2)
+    extra["dg_step_us_K2048_N3"] = round(1e6 * step_s, 2)
+    extra["dg_step_tflops"] = round(flops / step_s / 1e12, 3)
+    extra["dg_step_mfu_pct_bf16peak"] = round(
+        100.0 * flops / step_s / V5E_BF16_PEAK, 3)
+    extra["dg_rollout_dt"] = round(DT2, 8)
 
-    ctx2_host = build_triangle_context(N2, mesh2, filter_cutoff=0.9 * N2,
-                                       filter_order=4, dtype=None)
-    cpu_rollout_time = numpy_forward_rollout_time(ctx2_host, reps=3)
-    rollouts_vs_baseline = tpu_rollouts_per_s * cpu_rollout_time
+    def _host2():
+        return build_triangle_context(N2, mesh2, filter_cutoff=0.9 * N2,
+                                      filter_order=4, dtype=None)
+
+    ctx2_host = staged(_host2)
+    cpu_rollout_time = numpy_forward_rollout_time(ctx2_host, DT2, n_steps)
+    extra["dg_rollouts_vs_baseline"] = round(
+        tpu_rollouts_per_s * cpu_rollout_time, 2)
+
+    # blocked MPC: forward + jax.vjp-in-kernel adjoint ON HARDWARE
+    from blitzdg_tpu.mpc.blocked import BlockedMPC
+    from blitzdg_tpu.ops.sw2d_blocked import make_rollout_blocked
+
+    B3, H3, SPC3, IT3 = 8, 4, 2, 5
+
+    def _setup3():
+        bump2 = _np.exp(-8.0 * (_np.asarray(ctx2.x) ** 2
+                                + _np.asarray(ctx2.y) ** 2))
+        ops3, meta3 = build_blocked_step_ops(
+            ctx2, phys, _np.stack([bump2, 0 * bump2]),
+            _np.stack([0 * bump2, bump2]), dtype=jnp.float32)
+        M = ctx2.Vinv.T @ ctx2.Vinv
+        w = M @ jnp.ones((ctx2.n_p,), dtype=ctx2.J.dtype)
+        wj = pack_state(meta3, (w[None, :] * ctx2.J)[None])[0].astype(
+            jnp.float32)
+        h2 = 10.0 + 0 * ctx2.x
+        st = SWState(h=jnp.broadcast_to(h2, (B3,) + h2.shape),
+                     hu=jnp.zeros((B3,) + h2.shape, jnp.float32),
+                     hv=jnp.zeros((B3,) + h2.shape, jnp.float32))
+        tg = jnp.broadcast_to(
+            (1e-3 * jnp.exp(-5.0 * (ctx2.x**2 + ctx2.y**2))
+             ).astype(jnp.float32), (B3,) + h2.shape)
+        return ops3, meta3, wj, st, tg
+
+    ops3, meta3, wj3, st3, tg3 = staged(_setup3)
+    if stage is not None:
+        ops3 = jax.device_put(ops3, accel)
+        wj3, st3, tg3 = (jax.device_put(a, accel) for a in (wj3, st3, tg3))
+    prob2 = MPCProblem(ctx=ctx2, phys=phys, dt=DT2, horizon=H3,
+                       steps_per_control=SPC3, q_eta=0.0,
+                       q_terminal=1.0, r_control=1e-10)
+    bm = BlockedMPC(rollout=make_rollout_blocked(ops3, meta3, DT2, SPC3),
+                    meta=meta3, wj=wj3)
+
+    solve_b = jax.jit(lambda s, tg: solve_mpc_blocked(
+        prob2, bm, s, tg, 2, iters=IT3, learning_rate=0.05).cost)
+    outb = jax.block_until_ready(solve_b(st3, tg3))
+    assert bool(jnp.isfinite(outb).all()), "blocked MPC non-finite"
+    t0 = time.perf_counter()
+    outb = jax.block_until_ready(solve_b(st3, tg3))
+    extra["blocked_mpc_solves_per_s_K2048"] = round(
+        B3 / (time.perf_counter() - t0), 2)
+
+    # ============ 'onehot' trace mode on unstructured box.msh ==========
+    from blitzdg_tpu.parallel.partition import rcm_order
+
+    box_path = "/root/reference/input/box.msh"
+    if os.path.exists(box_path):
+        def _setup4():
+            mesh4, _ = rcm_order(read_gmsh(box_path))
+            c4 = build_triangle_context(2, mesh4, filter_cutoff=1.8,
+                                        filter_order=4, dtype=jnp.float32)
+            o4, m4 = build_blocked_step_ops(c4, phys, dtype=jnp.float32,
+                                            trace_mode="onehot")
+            h4 = 10.0 + jnp.exp(-10.0 * (c4.x**2 + c4.y**2))
+            pk = [pack_state(m4, jnp.broadcast_to(f, (4,) + f.shape))
+                  for f in (h4, jnp.zeros_like(h4), jnp.zeros_like(h4))]
+            return c4, o4, m4, pk
+
+        ctx4, ops4, meta4, packed4 = staged(_setup4)
+        DT4 = cfl_dt(ctx4, 9.81, 11.0, cfl=0.7)
+        if stage is not None:
+            ops4 = jax.device_put(ops4, accel)
+            packed4 = [jax.device_put(a, accel) for a in packed4]
+
+        def roll4():
+            return sw2d_rollout_blocked(ops4, meta4, *packed4, None, DT4,
+                                        n_steps=16)
+
+        out4 = jax.block_until_ready(roll4())
+        assert bool(jnp.isfinite(out4[0]).all()), "onehot rollout non-finite"
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out4 = roll4()
+        jax.block_until_ready(out4)
+        extra["onehot_rollouts_per_s_K1046"] = round(
+            4 * reps / (time.perf_counter() - t0), 2)
+
+    # ===== reference poisson2d GMRES config (box.msh, K=1046, N=2) =====
+    if os.path.exists(box_path):
+        from blitzdg_tpu.ops.poisson import assemble_poisson2d, poisson2d_op
+        from blitzdg_tpu.solvers import block_jacobi_from_assembled
+        from blitzdg_tpu.solvers.krylov import CONV_SUCCESS, gmres
+
+        mesh5 = read_gmsh(box_path)
+        ctx5 = build_triangle_context(2, mesh5, dtype=jnp.float32)
+        uex5 = jnp.sin(np.pi * ctx5.x) * jnp.sin(np.pi * ctx5.y)
+        f5 = (-2.0 * np.pi**2 * uex5)
+        OP5, _ = assemble_poisson2d(
+            build_triangle_context(2, mesh5, dtype=None))
+        precon5 = block_jacobi_from_assembled(OP5, ctx5.k_elem, ctx5.n_p)
+
+        from blitzdg_tpu.ops.poisson import apply_mass
+
+        b5 = apply_mass(ctx5, -f5.reshape(ctx5.k_elem, ctx5.n_p)).reshape(-1)
+
+        def mv5(v):
+            return -poisson2d_op(ctx5, v.reshape(ctx5.k_elem, ctx5.n_p),
+                                 symmetrize=True).reshape(-1)
+
+        # reference params: kspace=300, relTol=1e-4 in f64
+        # (src/poisson2d/main.cpp:93-98); 2e-4 here = the f32 roundoff
+        # floor of this cond~1e9 operator; early-exit Givens GMRES
+        solve5 = jax.jit(lambda b: gmres(mv5, b, tol=2e-4, restart=300,
+                                         maxiter=5, precon=precon5))
+        r5 = jax.block_until_ready(solve5(b5))
+        assert int(r5.flag) == CONV_SUCCESS, int(r5.flag)
+        t0 = time.perf_counter()
+        r5 = jax.block_until_ready(solve5(b5))
+        extra["poisson2d_gmres_ms"] = round(
+            1e3 * (time.perf_counter() - t0), 2)
+        extra["poisson2d_gmres_restarts"] = int(r5.iters)
+
+    # ===== curved-dynamics batched MPC (BASELINE stretch config) =======
+    from blitzdg_tpu.mesh import disk_triangles
+    from blitzdg_tpu.mesh.curved import (
+        circle_projection, gordon_hall_deform, snap_boundary_vertices)
+    from blitzdg_tpu.mpc.problem import mpc_cost
+    from blitzdg_tpu.mpc.solver import solve_mpc
+    from blitzdg_tpu.ops.sw2d_curved import SWStateTracer, sw2d_curved_rhs
+    from blitzdg_tpu.specgrid.cubature import (
+        build_cubature_context, build_gauss_face_context)
+
+    NC, BC = 3, 256
+
+    def _setup6():
+        mesh6 = disk_triangles(3, radius=1.0)
+        proj = circle_projection(0.0, 0.0, 1.0)
+        cf = snap_boundary_vertices(mesh6, proj, tol=0.3)
+        c0 = build_triangle_context(NC, mesh6, dtype=None)
+        x2, y2, _ = gordon_hall_deform(NC, mesh6, c0.x, c0.y, cf, proj)
+        c6 = build_triangle_context(NC, mesh6, coords=(x2, y2),
+                                    filter_cutoff=0.9 * NC, filter_order=4,
+                                    dtype=jnp.float32)
+        cub6 = build_cubature_context(NC, mesh6, x2, y2, c0.V,
+                                      dtype=jnp.float32)
+        g6 = build_gauss_face_context(NC, mesh6, x2, y2, c0.V,
+                                      dtype=jnp.float32)
+        return c6, cub6, g6
+
+    ctx6, cub6, gauss6 = staged(_setup6)
+    if stage is not None:
+        ctx6, cub6, gauss6 = (jax.device_put(a, accel)
+                              for a in (ctx6, cub6, gauss6))
+    DT6 = cfl_dt(ctx6, 9.81, 1.1, cfl=0.5)
+    bump6 = jnp.exp(-8.0 * (ctx6.x**2 + ctx6.y**2)).astype(jnp.float32)
+
+    def curved_rhs(s, t):
+        return sw2d_curved_rhs(ctx6, cub6, gauss6, s, t, phys)
+
+    prob6 = MPCProblem(ctx=ctx6, phys=phys, dt=DT6, horizon=4,
+                       steps_per_control=2, q_eta=0.0, q_terminal=1.0,
+                       r_control=1e-10, rhs_fn=curved_rhs)
+
+    def forcing6(c, control, s, t):
+        z = jnp.zeros_like(s.h)
+        return z, control[0] * bump6, control[1] * bump6
+
+    h6 = jnp.ones((ctx6.k_elem, ctx6.n_p), jnp.float32)
+    s6 = SWStateTracer(h=h6, hu=0 * h6, hv=0 * h6, hN=0 * h6)
+    s6b = jax.tree.map(lambda a: jnp.broadcast_to(a, (BC,) + a.shape), s6)
+    offs6 = jnp.linspace(-0.3, 0.3, BC, dtype=jnp.float32)
+    tg6 = jax.vmap(lambda o: 1e-3 * jnp.exp(
+        -5.0 * ((ctx6.x - o) ** 2 + ctx6.y**2)))(offs6).astype(jnp.float32)
+
+    solve6 = jax.jit(jax.vmap(
+        lambda s, tg: solve_mpc(prob6, s, tg, forcing6, 2, iters=IT3,
+                                learning_rate=0.05, H_rest=1.0).cost))
+    out6 = jax.block_until_ready(solve6(s6b, tg6))
+    assert bool(jnp.isfinite(out6).all()), "curved MPC non-finite"
+    t0 = time.perf_counter()
+    out6 = jax.block_until_ready(solve6(s6b, tg6))
+    extra["curved_mpc_solves_per_s"] = round(
+        BC / (time.perf_counter() - t0), 2)
 
     print(
         json.dumps(
@@ -209,12 +448,7 @@ def main():
                 "value": round(tpu_solves_per_s, 2),
                 "unit": "solves/s",
                 "vs_baseline": round(tpu_solves_per_s / cpu_solves_per_s, 2),
-                "extra": {
-                    "dg_rollouts_per_s_K2048_N3": round(tpu_rollouts_per_s, 2),
-                    "dg_rollouts_vs_baseline": round(rollouts_vs_baseline, 2),
-                    "dg_step_us_K2048_N3": round(
-                        1e6 / (tpu_rollouts_per_s * n_steps), 2),
-                },
+                "extra": extra,
             }
         )
     )

@@ -49,6 +49,14 @@ class MPCProblem:
     # residuals of these tiny ops cost more in HBM round-trips than the
     # recompute FLOPs (~1.4x faster fwd+bwd at the bench shapes)
     remat: bool = flax.struct.field(pytree_node=False, default=True)
+    # custom dynamics: rhs_fn(state, t) -> state-like RHS. Overrides the
+    # built-in sw2d paths — e.g. the curved weak-form dynamics
+    # (ops.sw2d_curved.sw2d_curved_rhs closed over cub/gauss contexts) for
+    # the BASELINE stretch config "batched MPC over curved dynamics". The
+    # state may carry extra fields (e.g. the hN tracer); costs only read
+    # state.h, and the control forcing enters h/hu/hv.
+    rhs_fn: Callable | None = flax.struct.field(pytree_node=False,
+                                                default=None)
 
 
 def _controlled_rhs(
@@ -57,12 +65,15 @@ def _controlled_rhs(
     """RHS with the control injected as a momentum/elevation forcing."""
 
     def rhs(state: SWState, t):
-        if prob.dense_ops is not None:
+        if prob.rhs_fn is not None:
+            base = prob.rhs_fn(state, t)
+        elif prob.dense_ops is not None:
             base = sw2d_rhs_dense(prob.ctx, prob.dense_ops, state, t, prob.phys)
         else:
             base = sw2d_rhs(prob.ctx, state, t, prob.phys)
         fh, fhu, fhv = control_to_forcing(prob.ctx, control, state, t)
-        return SWState(h=base.h + fh, hu=base.hu + fhu, hv=base.hv + fhv)
+        return base._replace(h=base.h + fh, hu=base.hu + fhu,
+                             hv=base.hv + fhv)
 
     return rhs
 

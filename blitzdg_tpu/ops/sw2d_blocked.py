@@ -1165,6 +1165,12 @@ def sw2d_rollout_bwd_blocked(
                                         ctrls.dtype)),
         scratch_shapes=[pltpu.VMEM((p, NP, M), traj_h.dtype)] * 9
         + [pltpu.SemaphoreType.DMA((6,))],
+        # the jax.vjp-traced pullbacks carry a deep residual stack at
+        # K=2048; the default 16M scoped-vmem budget is too small even
+        # with the stage-split backward (measured 21.9M) — raise it
+        # (v5e has headroom above the conservative compiler default)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(ctrls, *ops, traj_h, traj_hu, traj_hv, tb_h, tb_hu, tb_hv)
 

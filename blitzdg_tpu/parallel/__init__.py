@@ -1,7 +1,10 @@
 from .halo import (
     HaloPlan,
     halo_poisson2d_op,
+    build_gauss_halo_plan,
     build_halo_plan,
+    halo_face_rows,
+    halo_sw2d_curved_rhs,
     halo_sw2d_rhs,
     halo_sw2d_timestep,
     halo_tables,
@@ -17,6 +20,8 @@ from .partition import (
 from .distributed import distributed_init, make_global_mesh
 from .sharding import (
     context_shard_specs,
+    cubature_shard_specs,
+    gauss_shard_specs,
     make_device_mesh,
     shard_context,
     sharded_sw2d_rhs,
@@ -31,11 +36,16 @@ __all__ = [
     "make_device_mesh",
     "shard_context",
     "context_shard_specs",
+    "cubature_shard_specs",
+    "gauss_shard_specs",
     "distributed_init",
     "make_global_mesh",
     "sharded_sw2d_rhs",
     "HaloPlan",
     "build_halo_plan",
+    "build_gauss_halo_plan",
+    "halo_face_rows",
+    "halo_sw2d_curved_rhs",
     "halo_tables",
     "halo_traces",
     "halo_sw2d_rhs",

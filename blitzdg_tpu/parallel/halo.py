@@ -55,7 +55,30 @@ def build_halo_plan(ctx: DGContext2D, n_shards: int) -> HaloPlan:
         raise ValueError("mapP has no face-granular structure; "
                          "use the all_gather path (sharded_sw2d_rhs)")
     face_nbr, face_flip = fts  # global face ids / flip flags, (K*nf,)
-    f_loc = (K // n_shards) * nf
+    return _plan_from_struct(face_nbr, face_flip, n_shards,
+                             (K // n_shards) * nf)
+
+
+def build_gauss_halo_plan(gauss, n_shards: int) -> HaloPlan:
+    """Halo plan for the GAUSS-face trace exchange of the curved pipeline:
+    same construction as build_halo_plan but over gauss.mapP's face
+    structure (NG-wide face rows, reversed '+' ordering — reference
+    TriangleNodesProvisioner.cpp:337-344). Lets sw2d_curved_rhs run
+    element-sharded: the cubature volume terms are shard-local, only this
+    exchange crosses the cut (SURVEY.md §2.9)."""
+    K, ntr = gauss.mapP.shape
+    nf = ntr // gauss.n_gauss
+    assert K % n_shards == 0, (K, n_shards)
+    fts = face_trace_structure(gauss.mapP, gauss.n_gauss)
+    if fts is None:
+        raise ValueError("gauss.mapP has no face-granular structure")
+    face_nbr, face_flip = fts
+    return _plan_from_struct(face_nbr, face_flip, n_shards,
+                             (K // n_shards) * nf)
+
+
+def _plan_from_struct(face_nbr, face_flip, n_shards: int,
+                      f_loc: int) -> HaloPlan:
     owner = face_nbr // f_loc
 
     # send[d][t]: ordered dict local_row -> slot, for shard t sending to
@@ -117,27 +140,33 @@ def halo_tables(plan: HaloPlan):
             jnp.asarray(plan.pflip))
 
 
-def halo_traces(fields, ctx, plan_row, plan: HaloPlan, axis_name: str):
-    """'-' and '+' traces of a tuple of local (K_loc, Np) fields with
-    cross-shard faces exchanged via one ppermute per active ring offset.
-    plan_row: this shard's (send_idx, psrc, pflip) rows (leading shard axis
-    already consumed by shard_map). Returns stacked (n_fields, F_loc*n_fp)."""
+def halo_face_rows(rows, plan_row, plan: HaloPlan, axis_name: str):
+    """'+' face rows from local '-' face rows (n_fields, F_loc, w): one
+    ppermute per active ring offset, then per-face source gather + flip.
+    Width-agnostic — w is Nfp for nodal traces, NG for Gauss traces."""
     n = plan.n_shards
-    n_fp = ctx.n_fp
     send_idx, psrc, pflip = plan_row
-    fm = ctx.fmask.reshape(-1)
-    fMf = jnp.stack([f[:, fm] for f in fields]).reshape(len(fields), -1, n_fp)
-
-    parts = [fMf]
+    parts = [rows]
     for di, d in enumerate(plan.offs):
-        buf = jnp.take(fMf, send_idx[di], axis=1)  # (nF, max_send, n_fp)
+        buf = jnp.take(rows, send_idx[di], axis=1)  # (nF, max_send, w)
         recv = jax.lax.ppermute(
             buf, axis_name, [(j, (j + d) % n) for j in range(n)]
         )
         parts.append(recv)
     comb = jnp.concatenate(parts, axis=1)
-    rows = jnp.take(comb, psrc, axis=1)  # (nF, F_loc, n_fp)
-    fP = jnp.where(pflip[None, :, None], rows[..., ::-1], rows)
+    out = jnp.take(comb, psrc, axis=1)  # (nF, F_loc, w)
+    return jnp.where(pflip[None, :, None], out[..., ::-1], out)
+
+
+def halo_traces(fields, ctx, plan_row, plan: HaloPlan, axis_name: str):
+    """'-' and '+' traces of a tuple of local (K_loc, Np) fields with
+    cross-shard faces exchanged via one ppermute per active ring offset.
+    plan_row: this shard's (send_idx, psrc, pflip) rows (leading shard axis
+    already consumed by shard_map). Returns stacked (n_fields, F_loc*n_fp)."""
+    n_fp = ctx.n_fp
+    fm = ctx.fmask.reshape(-1)
+    fMf = jnp.stack([f[:, fm] for f in fields]).reshape(len(fields), -1, n_fp)
+    fP = halo_face_rows(fMf, plan_row, plan, axis_name)
     nF = len(fields)
     return fMf.reshape(nF, -1), fP.reshape(nF, -1)
 
@@ -349,3 +378,109 @@ def halo_sw2d_timestep(ctx: DGContext2D, state: SWState, g: float, cfl: float,
     fsc = jnp.max(jnp.abs(ctx.fscale) * spdM)
     fsc = jax.lax.pmax(fsc, axis_name)
     return cfl / ((ctx.n_order + 1) ** 2 * 0.5 * fsc)
+
+
+@dg_op
+def halo_sw2d_curved_rhs(
+    ctx: DGContext2D,
+    cub,  # CubatureContext2D, per-shard blocks
+    gauss,  # GaussFaceContext2D, per-shard blocks (maps stay GLOBAL)
+    state,  # SWStateTracer (h, hu, hv, hN), (K_loc, Np) fields
+    t,
+    phys: SWPhysics,
+    tables,  # halo_tables(build_gauss_halo_plan(...)) rows
+    plan: HaloPlan,
+    axis_name: str = "element",
+    tidal_forcing=None,
+    zx=None,
+    zy=None,
+):
+    """Element-sharded curved weak-form RHS (ops.sw2d_curved.sw2d_curved_rhs
+    inside shard_map): cubature volume integrals and per-element mass
+    inverses are shard-local; ONLY the Gauss-face '+' trace crosses the cut,
+    via the ppermute halo over the Gauss plan (build_gauss_halo_plan).
+    gauss.bc_idx stays global and is localized per shard."""
+    from ..ops.sw2d_curved import SWStateTracer, _fluxes
+
+    K_loc = state.h.shape[0]
+    g = phys.g
+    h, hu, hv, hN = state
+    my = jax.lax.axis_index(axis_name)
+
+    # --- volume: interpolate to cubature, weak derivatives (local) ---
+    at_cub = lambda f: f @ cub.V.T
+    ch, chu, chv, chN = at_cub(h), at_cub(hu), at_cub(hv), at_cub(hN)
+    (F1, F2, F3, F4), (G1, G2, G3, G4) = _fluxes(ch, chu, chv, chN, g)
+
+    def weak_div(F, G):
+        tr = cub.W * (cub.rx * F + cub.ry * G)
+        ts = cub.W * (cub.sx * F + cub.sy * G)
+        return tr @ cub.Dr + ts @ cub.Ds
+
+    MMRHS = [weak_div(F1, G1), weak_div(F2, G2), weak_div(F3, G3),
+             weak_div(F4, G4)]
+
+    # --- surface: Gauss traces with ppermute halo ---
+    NG = gauss.n_gauss
+    ntr = gauss.nx.shape[1]
+    nf = ntr // NG
+    plan_row = tuple(a[0] for a in tables)
+    gM = jnp.stack([(f @ gauss.interp.T).reshape(K_loc * nf, NG)
+                    for f in (h, hu, hv, hN)])
+    gP = halo_face_rows(gM, plan_row, plan, axis_name)
+    hM, huM, hvM, hNM = gM.reshape(4, -1)
+    hP, huP, hvP, hNP = gP.reshape(4, -1)
+
+    nxf = gauss.nx.reshape(-1)
+    nyf = gauss.ny.reshape(-1)
+    local_size = K_loc * ntr
+
+    wall_idx, wall_safe, _ = _localize_bc(
+        gauss.bc_idx[BC_WALL], gauss.bc_mask[BC_WALL], my, local_size)
+    un2 = 2.0 * (huM[wall_safe] * nxf[wall_safe]
+                 + hvM[wall_safe] * nyf[wall_safe])
+    huP = huP.at[wall_idx].set(huM[wall_safe] - un2 * nxf[wall_safe],
+                               mode="drop")
+    hvP = hvP.at[wall_idx].set(hvM[wall_safe] - un2 * nyf[wall_safe],
+                               mode="drop")
+    if tidal_forcing is not None:
+        ob_idx, ob_safe, ob_mine = _localize_bc(
+            gauss.bc_idx[BC_OUT], gauss.bc_mask[BC_OUT], my, local_size)
+        h_bc = jnp.broadcast_to(
+            jnp.asarray(tidal_forcing(t), dtype=hP.dtype), ob_idx.shape)
+        hP = hP.at[ob_idx].set(h_bc, mode="drop")
+
+    (F1M, F2M, F3M, F4M), (G1M, G2M, G3M, G4M) = _fluxes(hM, huM, hvM, hNM, g)
+    (F1P, F2P, F3P, F4P), (G1P, G2P, G3P, G4P) = _fluxes(hP, huP, hvP, hNP, g)
+
+    spdM = _safe_norm(huM / hM, hvM / hM) + jnp.sqrt(g * hM)
+    spdP = _safe_norm(huP / hP, hvP / hP) + jnp.sqrt(g * hP)
+    spd = jnp.maximum(spdM, spdP).reshape(K_loc * nf, NG)
+    lam = jnp.broadcast_to(jnp.max(spd, axis=1, keepdims=True),
+                           spd.shape).reshape(-1)
+
+    shape = (K_loc, ntr)
+    fl = [
+        (0.5 * ((FM + FP) * nxf + (GM + GP) * nyf
+                + lam * (qM - qP))).reshape(shape)
+        for FM, FP, GM, GP, qM, qP in (
+            (F1M, F1P, G1M, G1P, hM, hP),
+            (F2M, F2P, G2M, G2P, huM, huP),
+            (F3M, F3P, G3M, G3P, hvM, hvP),
+            (F4M, F4P, G4M, G4P, hNM, hNP),
+        )
+    ]
+    MMRHS = [m - (gauss.W * f) @ gauss.interp for m, f in zip(MMRHS, fl)]
+
+    inv = lambda mm: jnp.einsum("kij,kj->ki", cub.MMinv, mm)
+    RHS1, RHS2, RHS3, RHS4 = (inv(m) for m in MMRHS)
+
+    u, v = hu / h, hv / h
+    cd_norm = phys.cd * _safe_norm(u, v)
+    RHS2 = RHS2 + phys.f_cor * hv - cd_norm * u
+    RHS3 = RHS3 - phys.f_cor * hu - cd_norm * v
+    if zx is not None:
+        RHS2 = RHS2 - g * h * zx
+        RHS3 = RHS3 - g * h * zy
+
+    return SWStateTracer(h=RHS1, hu=RHS2, hv=RHS3, hN=RHS4)

@@ -64,6 +64,37 @@ ELEMENT_SHARDED_FIELDS = frozenset({
 })
 
 
+# per-element (K-leading) arrays of the cubature / Gauss-face contexts —
+# the reference-element operators (V, Dr, Ds, interp, quadrature nodes)
+# stay replicated; the maps/BC tables stay replicated GLOBAL and are
+# localized inside halo_sw2d_curved_rhs
+CUBATURE_SHARDED_FIELDS = frozenset({
+    "x", "y", "J", "rx", "ry", "sx", "sy", "W", "MM", "MMchol", "MMinv",
+})
+GAUSS_SHARDED_FIELDS = frozenset({"x", "y", "nx", "ny", "sJ", "W"})
+
+
+def _specs_by_name(tree, names, axis):
+    def spec(path, a):
+        name = path[0].name if hasattr(path[0], "name") else str(path[0])
+        if name in names and hasattr(a, "ndim") and a.ndim >= 1:
+            return P(axis, *([None] * (a.ndim - 1)))
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, tree)
+
+
+def cubature_shard_specs(cub, axis: str = "element"):
+    """shard_map in_specs for a CubatureContext2D (curved sharded path)."""
+    return _specs_by_name(cub, CUBATURE_SHARDED_FIELDS, axis)
+
+
+def gauss_shard_specs(gauss, axis: str = "element"):
+    """shard_map in_specs for a GaussFaceContext2D: per-node geometry is
+    element-sharded; interp and the GLOBAL maps/BC tables replicate."""
+    return _specs_by_name(gauss, GAUSS_SHARDED_FIELDS, axis)
+
+
 def context_shard_specs(ctx, axis: str = "element"):
     """PartitionSpec pytree for a DG context under shard_map: P(axis) on the
     leading dim of every ELEMENT_SHARDED_FIELDS array, P() elsewhere. Use

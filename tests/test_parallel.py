@@ -506,3 +506,80 @@ print("PAD16 OK")
                              cwd="/root/repo")
         assert res.returncode == 0, res.stderr[-2000:]
         assert "PAD16 OK" in res.stdout
+
+
+def test_halo_curved_rhs_matches_single():
+    """Element-sharded CURVED weak-form RHS (cubature volume local, Gauss
+    '+' trace via the ppermute halo over the Gauss plan) == the
+    single-device sw2d_curved_rhs to roundoff, on a Gordon-Hall-deformed
+    disk with wall + tidal BCs and drag/Coriolis (VERDICT r2 item 9)."""
+    from blitzdg_tpu.context import BC_OUT
+    from blitzdg_tpu.mesh import disk_triangles
+    from blitzdg_tpu.mesh.curved import (
+        circle_projection,
+        gordon_hall_deform,
+        snap_boundary_vertices,
+    )
+    from blitzdg_tpu.ops.sw2d_curved import SWStateTracer, sw2d_curved_rhs
+    from blitzdg_tpu.parallel import (
+        build_gauss_halo_plan,
+        cubature_shard_specs,
+        gauss_shard_specs,
+        halo_sw2d_curved_rhs,
+        halo_tables,
+    )
+    from blitzdg_tpu.specgrid.cubature import (
+        build_cubature_context,
+        build_gauss_face_context,
+    )
+
+    N = 3
+    mesh0 = disk_triangles(4, radius=1.0)
+    # tag an eastern arc of the boundary as tidal open
+    bc = np.asarray(mesh0.bc_type).copy()
+    mids = 0.5 * (mesh0.verts[mesh0.etov]
+                  + mesh0.verts[np.roll(mesh0.etov, -1, axis=1)])
+    bc[(bc > 0) & (mids[:, :, 0] > 0.7)] = BC_OUT
+    mesh0.set_bc_type(bc)
+
+    mesh2d, perm, kp = partition_mesh(mesh0, NDEV)
+    assert mesh2d.num_elements % NDEV == 0
+
+    proj = circle_projection(0.0, 0.0, 1.0)
+    curved_faces = snap_boundary_vertices(mesh2d, proj, tol=0.3)
+    ctx0 = build_triangle_context(N, mesh2d, dtype=None)
+    x2, y2, _ = gordon_hall_deform(N, mesh2d, ctx0.x, ctx0.y,
+                                   curved_faces, proj)
+    ctx = build_triangle_context(N, mesh2d, coords=(x2, y2))
+    cub = build_cubature_context(N, mesh2d, x2, y2, ctx0.V)
+    gauss = build_gauss_face_context(N, mesh2d, x2, y2, ctx0.V)
+
+    phys = SWPhysics(g=9.81, cd=2.5e-3, f_cor=1e-4)
+    forcing = lambda t: 1.0 + 0.05 * jnp.cos(0.3 * t)
+    eta = 0.05 * jnp.exp(-5.0 * ((ctx.x - 0.2) ** 2 + ctx.y**2))
+    state = SWStateTracer(h=1.0 + eta, hu=0.02 * eta, hv=-0.01 * eta,
+                          hN=eta)
+    t0 = 0.37
+
+    ref = sw2d_curved_rhs(ctx, cub, gauss, state, t0, phys,
+                          tidal_forcing=forcing)
+
+    plan = build_gauss_halo_plan(gauss, NDEV)
+    tables = halo_tables(plan)
+    devmesh = make_device_mesh(1, NDEV)
+    el2 = P("element", None)
+    fn = jax.shard_map(
+        lambda c, cb, gs, s, tb: halo_sw2d_curved_rhs(
+            c, cb, gs, s, t0, phys, tb, plan, tidal_forcing=forcing),
+        mesh=devmesh,
+        in_specs=(_context_specs(ctx), cubature_shard_specs(cub),
+                  gauss_shard_specs(gauss),
+                  jax.tree.map(lambda a: el2, state),
+                  tuple(P("element", *([None] * (a.ndim - 1)))
+                        for a in tables)),
+        out_specs=jax.tree.map(lambda a: el2, state),
+    )
+    out = fn(ctx, cub, gauss, state, tables)
+    for got, want, name in zip(out, ref, ("h", "hu", "hv", "hN")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-11, err_msg=name)
