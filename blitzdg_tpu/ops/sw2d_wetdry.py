@@ -144,10 +144,20 @@ def ssprk2_step_wetdry(
     phys: SWPhysics,
     h_floor: float = 1e-3,
     use_filter: bool = True,
+    scheme: str = "midpoint",
 ) -> SWState:
-    """SSP-RK2 with the positivity limiter applied after every stage —
-    the per-stage limiting pattern the reference's commented-out calls
-    intend (sw2d_curved.py:16, swhelpers/limiters.py:3-21)."""
+    """RK2 with the positivity limiter applied after every stage — the
+    per-stage limiting pattern the reference's commented-out calls intend
+    (sw2d_curved.py:16, swhelpers/limiters.py:3-21).
+
+    ``scheme='midpoint'`` (default) is the predictor-corrector the
+    reference's own drivers use (sw2d.py:232-252, sw2d/main.cpp SSP-RK2
+    label notwithstanding). Midpoint RK2 is NOT a convex combination of
+    forward-Euler steps, so the Zhang-Shu cell-mean-positivity guarantee is
+    only EMPIRICAL here (per-stage limiter + momentum taper hold it in
+    practice; ADVICE r2). ``scheme='heun'`` is true SSP-RK2
+    (u1 = u + dt R(u); u <- u/2 + (u1 + dt R(u1))/2), for which per-stage
+    limiting provably preserves cell-mean positivity under the SSP CFL."""
 
     def limit(s: SWState) -> SWState:
         h, hu, hv = positivity_preserving_limiter(
@@ -164,6 +174,13 @@ def ssprk2_step_wetdry(
             r = SWState(*(apply_filter(ctx, f) for f in r))
         return r
 
+    if scheme == "heun":
+        k1 = eval_rhs(state, t)
+        s1 = limit(SWState(*(u + dt * k for u, k in zip(state, k1))))
+        k2 = eval_rhs(s1, t + dt)
+        s2 = SWState(*(0.5 * u + 0.5 * (u1 + dt * k)
+                       for u, u1, k in zip(state, s1, k2)))
+        return limit(s2)
     k1 = eval_rhs(state, t)
     s1 = limit(SWState(*(u + 0.5 * dt * k for u, k in zip(state, k1))))
     k2 = eval_rhs(s1, t + 0.5 * dt)

@@ -92,3 +92,24 @@ def test_wetdry_rhs_finite_at_floor():
     r = sw2d_rhs_wetdry(ctx, state, 0.0, phys, H_FLOOR)
     for f in r:
         assert np.isfinite(np.asarray(f)).all()
+
+
+def test_wetdry_heun_ssp_positivity():
+    """The true-SSP Heun variant (provable cell-mean positivity with the
+    per-stage limiter; ADVICE r2) stays positive and stable on the same
+    beach problem."""
+    ctx, phys, state = _beach_problem()
+    dt = 2e-4
+
+    @jax.jit
+    def run(s):
+        def body(s, _):
+            return ssprk2_step_wetdry(ctx, s, 0.0, dt, phys, H_FLOOR,
+                                      scheme="heun"), None
+        s, _ = jax.lax.scan(body, s, None, length=100)
+        return s
+
+    out = run(state)
+    h = np.asarray(out.h)
+    assert np.isfinite(h).all()
+    assert h.min() > 0.25 * H_FLOOR, h.min()
