@@ -152,36 +152,63 @@ def main():
     extra = {}
 
     # ================= headline: dense-kernel MPC (coarse_box) =========
+    from blitzdg_tpu.mpc.pallas import PallasMPC
+    from blitzdg_tpu.ops.sw2d_dense import build_dense_trace_ops
+    from blitzdg_tpu.ops.sw2d_pallas import build_pallas_step_ops, make_rollout
+
     ref = "/root/reference/input/coarse_box.msh"
     mesh = read_gmsh(ref) if os.path.exists(ref) else box_triangles(4, 5)
     N = 1
+    phys = SWPhysics(g=9.81)
 
-    ctx = build_triangle_context(N, mesh, filter_cutoff=0.9 * N, filter_order=N,
-                                 dtype=jnp.float32)
+    def staged(f):
+        if stage is None:
+            return f()
+        with stage():
+            return f()
+
+    def _setup1():
+        ctx = build_triangle_context(N, mesh, filter_cutoff=0.9 * N,
+                                     filter_order=N, dtype=jnp.float32)
+        dense = build_dense_trace_ops(ctx)
+        bump = _np.exp(-8.0 * (_np.asarray(ctx.x) ** 2
+                               + _np.asarray(ctx.y) ** 2))
+        ops1, meta1 = build_pallas_step_ops(
+            ctx, dense, phys, _np.stack([bump, 0 * bump]),
+            _np.stack([0 * bump, bump]))
+        M = ctx.Vinv.T @ ctx.Vinv
+        w = M @ jnp.ones((ctx.n_p,), dtype=ctx.J.dtype)
+        wj = jnp.pad((w[None, :] * ctx.J).reshape(-1),
+                     (0, meta1.n_vp - meta1.n_v)).astype(jnp.float32)
+        vmask = (jnp.arange(meta1.n_vp) < meta1.n_v).astype(jnp.float32)
+        h0 = jnp.full((ctx.k_elem, ctx.n_p), 10.0, dtype=jnp.float32)
+        state0 = SWState(h=h0, hu=jnp.zeros_like(h0), hv=jnp.zeros_like(h0))
+        states = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (BATCH,) + a.shape), state0)
+        offs = jnp.linspace(-0.3, 0.3, BATCH, dtype=jnp.float32)
+        targets = jax.vmap(
+            lambda o: 1e-3 * jnp.exp(-5.0 * ((ctx.x - o) ** 2 + ctx.y**2))
+        )(offs).astype(jnp.float32)
+        return ctx, ops1, meta1, wj, vmask, states, targets
+
+    ctx, ops1, meta1, wj1, vmask1, states, targets = staged(_setup1)
     ctx_host = build_triangle_context(N, mesh, filter_cutoff=0.9 * N,
                                       filter_order=N, dtype=None)
     # CFL-derived dt (round-2 verdict: the old hardcoded 2e-3 exceeded the
     # rest-state CFL limit 1.67e-3)
     DT = cfl_dt(ctx_host, 9.81, 11.0, cfl=0.7)
-    phys = SWPhysics(g=9.81)
-    from blitzdg_tpu.ops.sw2d_dense import build_dense_trace_ops
+    if stage is not None:
+        ops1, wj1, vmask1, states, targets = (
+            jax.device_put(a, accel)
+            for a in (ops1, wj1, vmask1, states, targets))
 
     prob = MPCProblem(ctx=ctx, phys=phys, dt=DT, horizon=HORIZON,
                       steps_per_control=STEPS_PER_CONTROL,
-                      q_eta=0.0, q_terminal=1.0, r_control=1e-10,
-                      dense_ops=build_dense_trace_ops(ctx))
-
-    bump = _np.exp(-8.0 * (_np.asarray(ctx.x) ** 2 + _np.asarray(ctx.y) ** 2))
-    pm = build_pallas_mpc(prob, _np.stack([bump, 0 * bump]),
-                          _np.stack([0 * bump, bump]), tile_b=128)
-
-    h0 = jnp.full((ctx.k_elem, ctx.n_p), 10.0, dtype=jnp.float32)
-    state0 = SWState(h=h0, hu=jnp.zeros_like(h0), hv=jnp.zeros_like(h0))
-    states = jax.tree.map(lambda a: jnp.broadcast_to(a, (BATCH,) + a.shape), state0)
-    offs = jnp.linspace(-0.3, 0.3, BATCH, dtype=jnp.float32)
-    targets = jax.vmap(
-        lambda o: 1e-3 * jnp.exp(-5.0 * ((ctx.x - o) ** 2 + ctx.y**2))
-    )(offs).astype(jnp.float32)
+                      q_eta=0.0, q_terminal=1.0, r_control=1e-10)
+    pm = PallasMPC(
+        rollout=make_rollout(ops1, meta1, DT, STEPS_PER_CONTROL,
+                             use_filter=prob.use_filter, tile_b=128),
+        meta=meta1, wj=wj1, vmask=vmask1)
 
     solve = jax.jit(
         lambda s, tg: solve_mpc_pallas(prob, pm, s, tg, 2, iters=ITERS,
@@ -209,12 +236,6 @@ def main():
         pack_state,
         sw2d_rollout_blocked,
     )
-
-    def staged(f):
-        if stage is None:
-            return f()
-        with stage():
-            return f()
 
     N2, B2 = 3, 8
     mesh2 = box_triangles(32, 32)

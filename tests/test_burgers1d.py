@@ -30,13 +30,24 @@ def test_burgers1d_traveling_wave():
     t_end = num_steps * dt
     exact = burgers_exact(ctx.x, t_end, alpha, nu, c)
     err = float(jnp.max(jnp.abs(u - exact)))
-    # Golden control-parity constant (BASELINE.md 1e-6 bar) for config #2
-    # (burgers1d/main.cpp:109-112 semantics; N=6, K=40, 94 LSERK4 steps to
-    # t=0.1004). Captured from the x64 run of the same LDG algorithm; see
-    # test_advec1d for the rationale. Any drift beyond 1e-6 in the solution
-    # flags a parity break.
-    GOLDEN = 1.723080521598419e-07
-    assert abs(err - GOLDEN) < 1e-6, f"err {err} drifted from {GOLDEN}"
+
+    # Non-circular parity (BASELINE.md 1e-6 bar): the independent
+    # from-the-book numpy LDG oracle (tests/oracle/burgers1d_oracle.py, no
+    # package imports) runs reference config #2 (burgers1d/main.cpp:31-60,
+    # error semantics :109-112); the framework must match ITS full final
+    # solution to 1e-6 (observed agreement: ~1e-15).
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent / "oracle"))
+    from burgers1d_oracle import run_reference_config
+
+    x_o, u_o, err_o, t_o = run_reference_config()
+    np.testing.assert_allclose(np.asarray(ctx.x), x_o, atol=1e-12)
+    assert abs(t_end - t_o) < 1e-12
+    assert np.max(np.abs(np.asarray(u) - u_o)) < 1e-6
+    assert abs(err - err_o) < 1e-6
+    assert err < 1e-5  # spectral accuracy upper bound (loose)
 
 
 def test_burgers1d_differentiable():
