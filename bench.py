@@ -35,7 +35,12 @@ charitable to the CPU (assumes a perfect hand-written adjoint).
 """
 import json
 import os
+import sys
 import time
+
+
+def _phase(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 # make a host-CPU backend available next to the TPU one so big-mesh setup
 # (dozens of tiny eager ops) doesn't pay a network round trip per op
@@ -191,6 +196,7 @@ def main():
         )(offs).astype(jnp.float32)
         return ctx, ops1, meta1, wj, vmask, states, targets
 
+    _phase('setup: headline dense MPC')
     ctx, ops1, meta1, wj1, vmask1, states, targets = staged(_setup1)
     ctx_host = build_triangle_context(N, mesh, filter_cutoff=0.9 * N,
                                       filter_order=N, dtype=None)
@@ -214,6 +220,7 @@ def main():
         lambda s, tg: solve_mpc_pallas(prob, pm, s, tg, 2, iters=ITERS,
                                        learning_rate=0.05).cost
     )
+    _phase('compile+run: headline dense MPC solve')
     out = solve(states, targets)
     out.block_until_ready()  # compile
     assert bool(jnp.isfinite(out).all()), "MPC solve produced non-finite cost"
@@ -251,6 +258,7 @@ def main():
         ]
         return c2, o2, m2, packed
 
+    _phase('setup: blocked K=2048')
     ctx2, ops2, meta2, packed = staged(_setup2)
     DT2 = cfl_dt(ctx2, 9.81, 11.0, cfl=0.7)
     if stage is not None:
@@ -261,6 +269,7 @@ def main():
         return sw2d_rollout_blocked(ops2, meta2, *packed, None, DT2,
                                     n_steps=n_steps)
 
+    _phase('compile+run: blocked rollout')
     out2 = jax.block_until_ready(roll())  # compile
     assert bool(jnp.isfinite(out2[0]).all()), "blocked rollout went non-finite"
     t0 = time.perf_counter()
@@ -323,6 +332,7 @@ def main():
 
     solve_b = jax.jit(lambda s, tg: solve_mpc_blocked(
         prob2, bm, s, tg, 2, iters=IT3, learning_rate=0.05).cost)
+    _phase('compile+run: blocked MPC adjoint')
     outb = jax.block_until_ready(solve_b(st3, tg3))
     assert bool(jnp.isfinite(outb).all()), "blocked MPC non-finite"
     t0 = time.perf_counter()
@@ -356,6 +366,7 @@ def main():
             return sw2d_rollout_blocked(ops4, meta4, *packed4, None, DT4,
                                         n_steps=16)
 
+        _phase('compile+run: onehot rollout')
         out4 = jax.block_until_ready(roll4())
         assert bool(jnp.isfinite(out4[0]).all()), "onehot rollout non-finite"
         t0 = time.perf_counter()
@@ -392,6 +403,7 @@ def main():
         # floor of this cond~1e9 operator; early-exit Givens GMRES
         solve5 = jax.jit(lambda b: gmres(mv5, b, tol=2e-4, restart=300,
                                          maxiter=5, precon=precon5))
+        _phase('compile+run: poisson gmres')
         r5 = jax.block_until_ready(solve5(b5))
         assert int(r5.flag) == CONV_SUCCESS, int(r5.flag)
         t0 = time.perf_counter()
@@ -455,6 +467,7 @@ def main():
     solve6 = jax.jit(jax.vmap(
         lambda s, tg: solve_mpc(prob6, s, tg, forcing6, 2, iters=IT3,
                                 learning_rate=0.05, H_rest=1.0).cost))
+    _phase('compile+run: curved MPC')
     out6 = jax.block_until_ready(solve6(s6b, tg6))
     assert bool(jnp.isfinite(out6).all()), "curved MPC non-finite"
     t0 = time.perf_counter()
