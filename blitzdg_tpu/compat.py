@@ -140,6 +140,25 @@ class _ContextView:
     def __init__(self, ctx):
         self._ctx = ctx
 
+    def computeDifferentiationMatrices(self, x, y):
+        """Physical differentiation matrices (Dx, Dy), each (Np, Np), at
+        the given single-element nodal coordinates x, y (Np,) — reference
+        DGContext2D::computeDifferentiationMatrices
+        (include/DGContext2D.hpp:222-257): metric from Dr/Ds applied to
+        the coords, then Dx = rx*Dr + sx*Ds row-scaled per node."""
+        Dr = np.asarray(self._ctx.Dr)
+        Ds = np.asarray(self._ctx.Ds)
+        x = np.asarray(x).reshape(-1)
+        y = np.asarray(y).reshape(-1)
+        xr, xs = Dr @ x, Ds @ x
+        yr, ys = Dr @ y, Ds @ y
+        J = -xs * yr + xr * ys
+        rx, sx = ys / J, -yr / J
+        ry, sy = -xs / J, xr / J
+        Dx = rx[:, None] * Dr + sx[:, None] * Ds
+        Dy = ry[:, None] * Dr + sy[:, None] * Ds
+        return Dx, Dy
+
     # static
     @property
     def numLocalPoints(self):

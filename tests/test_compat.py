@@ -123,3 +123,24 @@ def test_vtk_outputter(tmp_path):
     os.chdir(tmp_path)
     out.writeFieldsToFiles({"eta": ctx.x}, 0)
     assert os.path.exists("eta0000000.vtu")
+
+
+def test_compute_differentiation_matrices():
+    """DGContext2D.computeDifferentiationMatrices (reference
+    include/DGContext2D.hpp:222-257): physical Dx/Dy at given element
+    coords differentiate polynomials exactly."""
+    import numpy as np
+
+    from blitzdg_tpu import compat
+
+    mm = compat.MeshManager()
+    mm.buildMesh(np.array([[0, 1, 2]]),
+                 np.array([[0.0, 0.0], [2.0, 0.5], [0.5, 1.5]]))
+    nodes = compat.TriangleNodesProvisioner(3, mm)
+    ctx = nodes.dgContext()
+    x = np.asarray(ctx.x)[:, 0]
+    y = np.asarray(ctx.y)[:, 0]
+    Dx, Dy = ctx.computeDifferentiationMatrices(x, y)
+    f = 2.0 + 3.0 * x - 1.5 * y + 0.25 * x * y
+    np.testing.assert_allclose(Dx @ f, 3.0 + 0.25 * y, atol=1e-10)
+    np.testing.assert_allclose(Dy @ f, -1.5 + 0.25 * x, atol=1e-10)
