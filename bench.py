@@ -48,6 +48,11 @@ _p = os.environ.get("JAX_PLATFORMS", "")
 if _p and "cpu" not in _p:
     os.environ["JAX_PLATFORMS"] = _p + ",cpu"
 
+# persistent compilation cache: the Mosaic/XLA compiles for the big fused
+# kernels take minutes on this host; repeat bench runs reuse them
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import numpy as np
 
 HORIZON = 8  # control steps

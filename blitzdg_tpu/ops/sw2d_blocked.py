@@ -869,6 +869,8 @@ def sw2d_step_blocked(
         in_specs=in_specs + op_specs,
         out_specs=(state_spec, state_spec, state_spec),
         out_shape=(shp, shp, shp),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*inputs, *ops)
 
@@ -1001,6 +1003,12 @@ def sw2d_rollout_blocked(
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         scratch_shapes=scratch,
+        # the 'onehot' trace mode's banded one-hot gather operators push the
+        # Mosaic scoped-vmem stack past the default 16M (measured 41.7M at
+        # K=1046/N=2); v5e has 128M VMEM per core, so raise the budget like
+        # the backward kernel does
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*inputs, *ops)
     return out

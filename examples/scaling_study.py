@@ -46,7 +46,12 @@ N_STEPS = 100
 DT = 1e-4
 
 
-def run_sharded(mesh0, n_dev, devices):
+def run_sharded(mesh0, n_dev, devices, no_comm=False):
+    """us/step of the element-sharded rollout on n_dev devices.
+
+    ``no_comm=True`` re-traces the SAME program with `lax.ppermute` patched
+    to identity: identical per-shard compute, zero collectives. The timing
+    difference is the measured communication cost of the halo exchange."""
     mesh2, _, _ = partition_mesh(mesh0, n_dev)
     ctx = build_triangle_context(N_ORDER, mesh2, dtype=jnp.float32)
     plan = build_halo_plan(ctx, n_dev)
@@ -71,13 +76,20 @@ def run_sharded(mesh0, n_dev, devices):
     fn = jax.jit(jax.shard_map(
         roll, mesh=el_mesh, in_specs=(specs, st_specs, tb_specs),
         out_specs=st_specs))
-    out = fn(ctx, state, tables)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
+    import contextlib
+    from unittest import mock
+
+    cm = (mock.patch.object(jax.lax, "ppermute",
+                            lambda x, axis_name, perm: x)
+          if no_comm else contextlib.nullcontext())
+    with cm:
         out = fn(ctx, state, tables)
-    jax.block_until_ready(out)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            out = fn(ctx, state, tables)
+        jax.block_until_ready(out)
     return (time.perf_counter() - t0) / reps / N_STEPS
 
 
@@ -91,14 +103,21 @@ def main():
     t1 = None
     for n in counts:
         t = run_sharded(mesh0, n, devices)
+        comm_pct = None
+        if n > 1:
+            t_nc = run_sharded(mesh0, n, devices, no_comm=True)
+            comm_pct = round(max(0.0, (t - t_nc) / t) * 100, 1)
         if t1 is None:
             t1 = t
         eff = t1 / (n * t)
         rows.append({"devices": n, "us_per_step": round(t * 1e6, 1),
                      "speedup": round(t1 / t, 3),
-                     "efficiency_pct": round(eff * 100, 1)})
+                     "efficiency_pct": round(eff * 100, 1),
+                     "comm_pct": comm_pct})
         print(f"  devices={n}: {t * 1e6:8.1f} us/step   "
-              f"speedup x{t1 / t:5.2f}   efficiency {eff * 100:5.1f}%")
+              f"speedup x{t1 / t:5.2f}   efficiency {eff * 100:5.1f}%"
+              + (f"   halo comm {comm_pct:4.1f}% of step"
+                 if comm_pct is not None else ""))
     if devices[0].platform == "cpu":
         print("NOTE: virtual CPU devices share one machine's FLOPs — "
               "efficiencies here validate the plumbing, not the hardware; "
@@ -118,7 +137,11 @@ def main():
             "rows": rows,
             "recipe": "same shard_map program at every device count; only "
                       "the jax.sharding.Mesh changes; time = best-of-3 "
-                      "mean over 100 fused steps after one warmup",
+                      "mean over 100 fused steps after one warmup; "
+                      "comm_pct = step-time share of the ppermute halo, "
+                      "measured by re-tracing the identical program with "
+                      "ppermute patched to identity (same per-shard "
+                      "compute, zero collectives)",
         }
         mode = "a" if os.path.exists(out) else "w"
         with open(out, mode) as f:
