@@ -56,17 +56,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..context import BC_WALL, DGContext2D
+from ._mxu import precision_dot
 from .sw2d import SWPhysics
 
 LANE = 128
 SUB = 8  # f32 sublane tile
-
-_PRECISIONS = {
-    "highest": jax.lax.Precision.HIGHEST,
-    "high": jax.lax.Precision.HIGH,
-    "default": jax.lax.Precision.DEFAULT,
-}
-
 
 def _pad(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
@@ -468,8 +462,8 @@ def _group_roll(x, shift):
 def _mm(a, b, precision):
     # accumulate in the operand dtype (f32 on hardware, f64 in the
     # interpret-mode parity tests); pass count set by meta.precision
-    return jnp.dot(a, b, preferred_element_type=a.dtype,
-                   precision=_PRECISIONS[precision])
+    # ('high' = manual bf16_3x, see ops/_mxu.py)
+    return precision_dot(a, b, precision)
 
 
 def _vmm(OP, x, meta: BlockedMeta):

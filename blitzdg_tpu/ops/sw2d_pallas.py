@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..context import DGContext2D
+from ._mxu import precision_dot
 from .sw2d import SWPhysics
 from .sw2d_dense import DenseTraceOps
 
@@ -80,6 +81,7 @@ class PallasStepMeta(NamedTuple):
     n_ctrl: int
     cp: int  # padded control width
     g: float
+    precision: str = "highest"  # MXU pass count, see ops/_mxu.py
 
 
 def build_pallas_step_ops(
@@ -89,6 +91,7 @@ def build_pallas_step_ops(
     forcing_bu: np.ndarray | None = None,  # (n_ctrl, K, Np) hu injector
     forcing_bv: np.ndarray | None = None,
     dtype=jnp.float32,
+    precision: str = "highest",
 ) -> tuple[PallasStepOps, PallasStepMeta]:
     """Freeze the padded operator set. Host-side, runs once at setup."""
     if phys.Hx is not None or phys.cd != 0.0 or phys.f_cor != 0.0:
@@ -162,7 +165,7 @@ def build_pallas_step_ops(
     )
     meta = PallasStepMeta(
         n_v=n_v, n_t=n_t, n_vp=n_vp, n_tp=n_tp, n_fp=n_fp,
-        n_ctrl=n_ctrl, cp=cp, g=float(phys.g),
+        n_ctrl=n_ctrl, cp=cp, g=float(phys.g), precision=precision,
     )
     return ops, meta
 
@@ -178,13 +181,13 @@ def unpad_state(meta: PallasStepMeta, f: jnp.ndarray, k_elem: int) -> jnp.ndarra
     return f[:, : meta.n_v].reshape(f.shape[0], k_elem, -1)
 
 
-def _mm(a, b):
-    # HIGHEST = full-f32 MXU passes. The default single-bf16 pass rounds
-    # the inputs to 8 mantissa bits, which wipes out O(1e-3) surface
-    # perturbations riding on h ~ 10 (the same reason the XLA DG ops are
-    # pinned to 'highest' — see config.dg_op).
-    return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+def _mm(a, b, prec="highest"):
+    # 'highest' = full-f32 MXU passes; 'high' = manual bf16_3x (see
+    # ops/_mxu.py). The raw single-bf16 default pass rounds the inputs to
+    # 8 mantissa bits, which wipes out O(1e-3) surface perturbations
+    # riding on h ~ 10 (the same reason the XLA DG ops are pinned to
+    # 'highest' — see config.dg_op).
+    return precision_dot(a, b, prec)
 
 
 def _group_max(spd, n_fp):
@@ -212,6 +215,7 @@ def _rhs(h, hu, hv, ctrl, o, meta: PallasStepMeta):
 
     Pure jnp on values (not refs) — shared by the step and rollout kernels.
     """
+    _mm = functools.partial(precision_dot, prec=meta.precision)
     g = meta.g
     vlane = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
     vmask = vlane < meta.n_v
@@ -263,6 +267,7 @@ def _rhs(h, hu, hv, ctrl, o, meta: PallasStepMeta):
 
 
 def _eval_rhs(h, hu, hv, ctrl, o, meta, use_filter):
+    _mm = functools.partial(precision_dot, prec=meta.precision)
     r1, r2, r3 = _rhs(h, hu, hv, ctrl, o, meta)
     if use_filter:
         r1, r2, r3 = _mm(r1, o.FILT), _mm(r2, o.FILT), _mm(r3, o.FILT)
@@ -345,6 +350,7 @@ def _rhs_vjp(h, hu, hv, w1, w2, w3, o, oT, meta: PallasStepMeta):
     VMEM — then runs the chain rule in reverse. Verified against jax.grad
     of the XLA dense path (tests/test_pallas.py).
     """
+    _mm = functools.partial(precision_dot, prec=meta.precision)
     g = meta.g
     vlane = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
     vmask = vlane < meta.n_v
@@ -482,6 +488,7 @@ def _rhs_vjp(h, hu, hv, w1, w2, w3, o, oT, meta: PallasStepMeta):
 def _eval_rhs_vjp(h, hu, hv, w1, w2, w3, o, oT, meta, use_filter):
     """VJP of the filtered, control-forced RHS. Returns state cotangents
     and the control cotangent contribution."""
+    _mm = functools.partial(precision_dot, prec=meta.precision)
     if use_filter:
         w1, w2, w3 = _mm(w1, oT.FILTt), _mm(w2, oT.FILTt), _mm(w3, oT.FILTt)
     cb = _mm(w2, oT.BUt) + _mm(w3, oT.BVt)

@@ -442,3 +442,36 @@ def test_blocked_wetdry_matches_xla():
         np.testing.assert_allclose(
             np.asarray(unpack_state(meta, got)[0]), np.asarray(want),
             atol=1e-12)
+
+
+def test_blocked_precision_high_bf16_3x():
+    """The 'high' speed path (manual bf16_3x dots, ops/_mxu.py — Mosaic has
+    no HIGH lowering) tracks the 'highest' full-f32 path to ~1e-3 absolute
+    over a multi-step f32 rollout, and is exactly the 'highest' path when
+    operands are f64 (interpret-mode parity fallback)."""
+    ctx = build_triangle_context(2, box_triangles(4, 4),
+                                 dtype=jnp.float32)
+    phys = SWPhysics(g=9.81)
+    state = _initial(ctx)
+    dt, n_steps = 5e-4, 8
+
+    outs = {}
+    for prec in ("highest", "high"):
+        ops, meta = build_blocked_step_ops(ctx, phys, dtype=jnp.float32,
+                                           precision=prec)
+        packed = [pack_state(meta, f[None].astype(jnp.float32))
+                  for f in state]
+        out = sw2d_rollout_blocked(ops, meta, *packed, None, dt,
+                                   n_steps=n_steps, interpret=True)
+        outs[prec] = np.asarray(unpack_state(meta, out[0])[0])
+    err = np.abs(outs["high"] - outs["highest"]).max()
+    assert err < 2e-3, err
+    assert err > 0.0  # the bf16_3x path must actually engage for f32
+
+    # f64 operands: 'high' falls back to the exact path
+    from blitzdg_tpu.ops._mxu import precision_dot
+
+    a = jnp.asarray(np.random.default_rng(0).normal(size=(8, 8)))
+    b = jnp.asarray(np.random.default_rng(1).normal(size=(8, 8)))
+    np.testing.assert_array_equal(np.asarray(precision_dot(a, b, "high")),
+                                  np.asarray(precision_dot(a, b, "highest")))
