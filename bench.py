@@ -366,10 +366,12 @@ def main():
     _phase('compile+run: blocked MPC adjoint')
     outb = jax.block_until_ready(solve_b(st3, tg3))
     assert bool(jnp.isfinite(outb).all()), "blocked MPC non-finite"
-    t0 = time.perf_counter()
-    outb = jax.block_until_ready(solve_b(st3, tg3))
-    extra["blocked_mpc_solves_per_s_K2048"] = round(
-        B3 / (time.perf_counter() - t0), 2)
+    bestb = 1e30
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outb = jax.block_until_ready(solve_b(st3, tg3))
+        bestb = min(bestb, time.perf_counter() - t0)
+    extra["blocked_mpc_solves_per_s_K2048"] = round(B3 / bestb, 2)
 
     # ============ 'onehot' trace mode on unstructured box.msh ==========
     from blitzdg_tpu.parallel.partition import rcm_order
@@ -507,10 +509,12 @@ def main():
     _phase('compile+run: curved MPC')
     out6 = jax.block_until_ready(solve6(s6b, tg6))
     assert bool(jnp.isfinite(out6).all()), "curved MPC non-finite"
-    t0 = time.perf_counter()
-    out6 = jax.block_until_ready(solve6(s6b, tg6))
-    extra["curved_mpc_solves_per_s"] = round(
-        BC / (time.perf_counter() - t0), 2)
+    best6 = 1e30
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out6 = jax.block_until_ready(solve6(s6b, tg6))
+        best6 = min(best6, time.perf_counter() - t0)
+    extra["curved_mpc_solves_per_s"] = round(BC / best6, 2)
 
     print(
         json.dumps(

@@ -94,6 +94,12 @@ def run_sharded(mesh0, n_dev, devices, no_comm=False):
 
 
 def main():
+    # SCALING_PLATFORM=cpu forces the virtual-device mesh even when a TPU
+    # plugin is registered (the JAX_PLATFORMS env var alone is not honored
+    # once a plugin backend is pinned)
+    plat = os.environ.get("SCALING_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     devices = jax.devices()
     counts = [n for n in (1, 2, 4, 8) if n <= len(devices)]
     mesh0 = box_triangles(CELLS, CELLS)
