@@ -4,9 +4,11 @@ TPU MXU matmuls default to bfloat16 input passes, which is catastrophic for
 spectral DG operators (observed: 200x accuracy loss on the advec1d
 benchmark config vs. f32 CPU). All hot operators therefore run their
 matmuls under an explicit precision scope, default ``"highest"`` (f32 inputs
-via multiple bf16 passes on the MXU). Set ``"default"`` to opt into raw bf16
-speed when accuracy tolerances allow, or ``"tensorfloat32"`` for the middle
-ground.
+via multiple bf16 passes on the MXU). Set ``"high"`` (bf16_3x, ~2x the
+matmul rate at ~2^-16 relative error — the XLA analog of the Pallas
+kernels' speed path, ops/_mxu.py) when accuracy tolerances allow;
+``"default"`` (raw single-pass bf16) destroys O(1e-3) perturbations riding
+on O(10) states and NaNs shallow-water rollouts.
 """
 from __future__ import annotations
 
