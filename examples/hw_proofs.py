@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Hardware proof points for the blocked Pallas kernel's edge paths.
+
+Reproduces the PARITY.md claims that are about Mosaic-on-real-TPU behavior
+rather than numerics (the numerics are covered by the interpret-mode parity
+tests in tests/test_blocked.py):
+
+ 1. onehot adjoint — jax.grad through a K=1046 'onehot'-trace-mode rollout
+    (banded one-hot MXU gathers inside jax.vjp) compiles under Mosaic and
+    returns finite, nonzero control gradients;
+ 2. wet/dry positivity — a 2000-step sloping-beach rollout with a genuinely
+    dry region keeps h >= h_floor on the chip (the in-kernel Zhang-Shu
+    limiter + momentum taper survive lowering).
+
+Run on the real chip (takes a few minutes of compile); each section prints
+an OK line. On CPU the kernels fall back to interpret mode (slow, smoke
+only).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import blitzdg_tpu.ops.sw2d_blocked as B
+from blitzdg_tpu.mesh import box_triangles
+from blitzdg_tpu.mesh.gmsh import read_gmsh
+from blitzdg_tpu.ops.sw2d import SWPhysics
+from blitzdg_tpu.parallel.partition import rcm_order
+from blitzdg_tpu.specgrid.triangle import build_triangle_context
+
+REF_BOX = "/root/reference/input/box.msh"
+
+
+def _stage():
+    """Build setup arrays on the host CPU backend when the default device
+    is a remote accelerator (eager ops there pay a network RTT each)."""
+    accel = jax.devices()[0]
+    if accel.platform == "cpu":
+        import contextlib
+
+        return contextlib.nullcontext(), accel
+    return jax.default_device(jax.devices("cpu")[0]), accel
+
+
+def onehot_adjoint():
+    phys = SWPhysics(g=9.81)
+    cm, accel = _stage()
+    with cm:
+        if os.path.exists(REF_BOX):
+            mesh, _ = rcm_order(read_gmsh(REF_BOX))
+        else:
+            mesh, _ = rcm_order(box_triangles(16, 16))
+        ctx = build_triangle_context(2, mesh, filter_cutoff=1.8,
+                                     filter_order=4, dtype=jnp.float32)
+        bump = np.exp(-8.0 * (np.asarray(ctx.x) ** 2
+                              + np.asarray(ctx.y) ** 2))
+        ops, meta = B.build_blocked_step_ops(
+            ctx, phys, np.stack([bump, 0 * bump]),
+            np.stack([0 * bump, bump]), dtype=jnp.float32,
+            trace_mode="onehot", precision="high")
+        h0 = 10.0 + jnp.exp(-10.0 * (ctx.x**2 + ctx.y**2))
+        pk = [B.pack_state(meta, jnp.broadcast_to(f, (4,) + f.shape))
+              for f in (h0, jnp.zeros_like(h0), jnp.zeros_like(h0))]
+    ops = jax.device_put(ops, accel)
+    pk = [jax.device_put(a, accel) for a in pk]
+    fs = float(np.abs(np.asarray(ctx.fscale)).max())
+    dt = 0.7 / (9 * 0.5 * fs * float(np.sqrt(9.81 * 11.0)))
+    rollout = B.make_rollout_blocked(ops, meta, dt, 2,
+                                     interpret=accel.platform == "cpu")
+    ctrls = jnp.zeros((4, 4, 2), jnp.float32)
+
+    def loss(c):
+        h, hu, hv = rollout(*pk, c)
+        return jnp.sum(h * h) * 1e-6
+
+    t0 = time.perf_counter()
+    gv = jax.block_until_ready(jax.jit(jax.grad(loss))(ctrls))
+    assert bool(jnp.isfinite(gv).all())
+    assert float(jnp.abs(gv).max()) > 0.0
+    print(f"onehot adjoint: finite nonzero grads at K={ctx.k_elem} "
+          f"({time.perf_counter() - t0:.0f}s incl. compile) — OK")
+
+
+def wetdry_positivity():
+    cm, accel = _stage()
+    h_floor = 1e-3
+    with cm:
+        ctx = build_triangle_context(1, box_triangles(16, 16),
+                                     dtype=jnp.float32)
+        H = jnp.asarray(0.5 - 1.2 * np.asarray(ctx.x), jnp.float32)
+        phys = SWPhysics(g=9.81, cd=1e-3, H=H,
+                         Hx=-1.2 * jnp.ones_like(H),
+                         Hy=jnp.zeros_like(H), well_balanced=False)
+        ops, meta = B.build_blocked_step_ops(ctx, phys, dtype=jnp.float32,
+                                             wetdry=True, h_floor=h_floor)
+        h0 = jnp.maximum(H, h_floor)
+        pk = [B.pack_state(meta, jnp.broadcast_to(f, (2,) + f.shape))
+              for f in (h0, jnp.zeros_like(h0), jnp.zeros_like(h0))]
+    ops = jax.device_put(ops, accel)
+    pk = [jax.device_put(a, accel) for a in pk]
+    t0 = time.perf_counter()
+    n_steps = 2000 if accel.platform != "cpu" else 50
+    out = jax.block_until_ready(B.sw2d_rollout_blocked(
+        ops, meta, *pk, None, 2e-4, n_steps=n_steps,
+        interpret=accel.platform == "cpu"))
+    h = np.asarray(B.unpack_state(meta, out[0])[0])
+    assert np.isfinite(h).all()
+    assert h.min() >= 0.0, h.min()
+    print(f"wetdry positivity: h in [{h.min():.1e}, {h.max():.2f}] after "
+          f"{n_steps} beach steps ({time.perf_counter() - t0:.0f}s) — OK")
+
+
+if __name__ == "__main__":
+    onehot_adjoint()
+    wetdry_positivity()
