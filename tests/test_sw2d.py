@@ -204,6 +204,74 @@ def test_sw2d_differentiable():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+class TestOracleParity:
+    """BASELINE.md north-star parity bar: the framework's sw2d rollout must
+    match an INDEPENDENT from-the-book numpy implementation to 1e-6 (x64)
+    on the reference sw2d-simple configuration
+    (/root/reference/src/sw2d-simple/main.cpp:33-177)."""
+
+    MESH = "/root/reference/input/coarse_box.msh"
+
+    def _framework_rollout(self, n_order, num_steps, cfl=0.65, g=9.81):
+        import os
+
+        import pytest
+
+        if not os.path.exists(self.MESH):
+            pytest.skip("reference mesh unavailable")
+        from blitzdg_tpu.mesh.gmsh import read_gmsh
+
+        mesh = read_gmsh(self.MESH)
+        ctx = build_triangle_context(
+            n_order, mesh, filter_cutoff=0.9 * n_order, filter_order=n_order
+        )
+        eta = jnp.exp(-10.0 * ctx.x**2 - 10.0 * ctx.y**2)
+        state = SWState(h=10.0 + eta, hu=jnp.zeros_like(eta), hv=jnp.zeros_like(eta))
+        phys = SWPhysics(g=g)
+
+        def rhs(s, t):
+            return sw2d_rhs(ctx, s, t, phys)
+
+        post = lambda f: apply_filter(ctx, f)
+
+        @jax.jit
+        def run(state):
+            def body(carry, _):
+                s, t = carry
+                dt = sw2d_timestep(ctx, s, phys.g, cfl)
+                s = ssprk2_step(rhs, s, t, dt, post_stage=post)
+                return (s, t + dt), None
+
+            (s, t), _ = jax.lax.scan(body, (state, 0.0), None, length=num_steps)
+            return s, t
+
+        return ctx, run(state)
+
+    def _check(self, n_order, num_steps):
+        from oracle.sw2d_oracle import run_config
+
+        ctx, (state, t) = self._framework_rollout(n_order, num_steps)
+        o, h, hu, hv, t_o = run_config(self.MESH, n_order=n_order,
+                                       num_steps=num_steps)
+        # same mesh/node layout precondition (element-major vs column-major)
+        np.testing.assert_allclose(np.asarray(ctx.x), o.x.T, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(ctx.y), o.y.T, atol=1e-12)
+        # the 1e-6 control-parity bar (BASELINE.json north star), x64
+        np.testing.assert_allclose(float(t), t_o, rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(state.h), h.T, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(state.hu), hu.T, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(state.hv), hv.T, atol=1e-6)
+
+    def test_coarse_box_n1_parity(self):
+        """The literal reference config: N=1, CFL=0.65, Gaussian eta."""
+        self._check(n_order=1, num_steps=60)
+
+    def test_coarse_box_n3_parity(self):
+        """Higher order on the same mesh — exercises warp-and-blend nodes,
+        multi-node faces (vmapP permutations) and the non-trivial filter."""
+        self._check(n_order=3, num_steps=25)
+
+
 def test_dense_path_rejects_well_balanced_bathymetry():
     """sw2d_rhs_dense has no hydrostatic-reconstruction flux; the same
     SWPhysics must not silently produce different dynamics than sw2d_rhs
