@@ -7,9 +7,19 @@ elements are *reordered* so each shard owns a contiguous equal-size block of
 the element axis — XLA then shards `(K, ...)` arrays with a plain
 `PartitionSpec('element')` and every shard has identical static shapes.
 
-Partitioner: recursive coordinate bisection (RCB) over element centroids —
-no METIS dependency, deterministic, and produces compact blocks with small
-surface (halo) cut for the meshes this framework targets.
+Partitioners:
+ - `graph_partition` (DEFAULT): cut-minimizing recursive spectral bisection
+   (Fiedler vector of the face-adjacency Laplacian) with greedy boundary
+   swap refinement — the METIS_PartMeshNodal/METIS_OBJTYPE_CUT analog
+   (/root/reference/src/MeshManager.cpp:491-544) without a METIS
+   dependency. Deterministic (fixed eigensolver start vector), exactly
+   balanced block sizes.
+ - `rcb_partition`: recursive coordinate bisection over element centroids —
+   geometric, cheap, kept as fallback and as the comparison baseline.
+
+`partition_cut` measures the face cut (= per-step halo exchange size), so
+the choice is recorded, not asserted (tests/test_parallel.py compares the
+two on the irregular coastal mesh).
 """
 from __future__ import annotations
 
@@ -41,7 +51,125 @@ def rcb_partition(centroids: np.ndarray, n_parts: int) -> np.ndarray:
     return part
 
 
-def partition_mesh(mesh: Mesh2D, n_parts: int) -> tuple[Mesh2D, np.ndarray, int]:
+def _fiedler_side(nbrs: list[np.ndarray], n_left: int) -> np.ndarray:
+    """Bisect a connected(ish) subgraph by its Fiedler vector: the n_left
+    smallest entries form the left side. ``nbrs[i]`` lists local neighbor
+    ids of local vertex i. Deterministic: fixed eigensolver start vector."""
+    n = len(nbrs)
+    rows = np.repeat(np.arange(n), [len(v) for v in nbrs])
+    cols = np.concatenate(nbrs) if n else np.empty(0, dtype=int)
+    import scipy.sparse as sp
+
+    A = sp.coo_matrix((np.ones(rows.size), (rows, cols)), shape=(n, n)).tocsr()
+    L = sp.diags(np.asarray(A.sum(axis=1)).ravel()) - A
+    if n <= 512:
+        _, vecs = np.linalg.eigh(L.toarray())
+        fiedler = vecs[:, 1]
+    else:
+        from scipy.sparse.linalg import eigsh
+
+        v0 = np.random.default_rng(0).standard_normal(n)
+        _, vecs = eigsh(L.tocsc(), k=2, sigma=-1e-4, which="LM", v0=v0)
+        # column order of shift-invert eigsh follows eigenvalue order
+        fiedler = vecs[:, 1]
+    order = np.argsort(fiedler, kind="stable")
+    side = np.zeros(n, dtype=bool)
+    side[order[:n_left]] = True
+    return side
+
+
+def _refine_bisection(nbrs: list[np.ndarray], side: np.ndarray) -> np.ndarray:
+    """Greedy balanced boundary refinement: repeatedly swap the best
+    (left, right) pair with positive combined cut gain — Kernighan-Lin
+    style, exact balance preserved by swapping in pairs. Runs until no
+    improving swap remains (bounded by n swaps; gains recomputed
+    incrementally on the swapped pair's neighborhoods)."""
+    side = side.copy()
+    n = len(nbrs)
+    deg = np.array([len(v) for v in nbrs])
+    # gain of flipping v = (cut edges) - (internal edges) incident to v
+    ext = np.array([int(np.sum(side[v] != side[i])) for i, v in enumerate(nbrs)])
+    for _ in range(n):
+        gain = 2 * ext - deg
+        left = np.where(side)[0]
+        right = np.where(~side)[0]
+        if left.size == 0 or right.size == 0:
+            break
+        u = left[np.argmax(gain[left])]
+        v = right[np.argmax(gain[right])]
+        w_uv = 1 if np.any(nbrs[u] == v) else 0
+        if gain[u] + gain[v] - 2 * w_uv <= 0:
+            break
+        side[u], side[v] = False, True
+        # incremental ext update: u, v and their neighbors change
+        touched = {u, v, *nbrs[u].tolist(), *nbrs[v].tolist()}
+        for i in touched:
+            ext[i] = int(np.sum(side[nbrs[i]] != side[i]))
+    return side
+
+
+def graph_partition(etoe: np.ndarray, n_parts: int) -> np.ndarray:
+    """Cut-minimizing k-way partition of the element face-adjacency graph
+    by recursive spectral bisection + balanced swap refinement (reference
+    contract: METIS k-way with METIS_OBJTYPE_CUT,
+    /root/reference/src/MeshManager.cpp:491-544). Returns part id per
+    element; block sizes match RCB's proportional split exactly."""
+    K = etoe.shape[0]
+    self_ids = np.arange(K)[:, None]
+    nbr_all = [np.unique(row[(row != k) & (row >= 0)])
+               for k, row in enumerate(np.where(etoe == self_ids, -1, etoe))]
+    part = np.zeros(K, dtype=np.int32)
+
+    def split(ids: np.ndarray, parts: int, base: int):
+        if parts == 1:
+            part[ids] = base
+            return
+        local = {g: i for i, g in enumerate(ids)}
+        # subgraph adjacency: only neighbors inside this block
+        nbrs = [np.array([local[g] for g in nbr_all[g0] if g in local], dtype=int)
+                for g0 in ids]
+        left_parts = parts // 2
+        n_left = (len(ids) * left_parts) // parts
+        side = _fiedler_side(nbrs, n_left)
+        side = _refine_bisection(nbrs, side)
+        split(ids[side], left_parts, base)
+        split(ids[~side], parts - left_parts, base + left_parts)
+
+    split(np.arange(K), n_parts, 0)
+    return part
+
+
+def partition_cut(etoe: np.ndarray, part: np.ndarray) -> int:
+    """Number of shared faces crossing partition boundaries — exactly the
+    per-step halo trace count the exchange must ship."""
+    k_ids = np.arange(etoe.shape[0])[:, None]
+    interior = etoe != k_ids  # boundary faces are self-connected
+    return int(np.sum(interior & (part[etoe] != part[:, None])) // 2)
+
+
+def compute_partition(mesh: Mesh2D, n_parts: int, method: str = "auto") -> np.ndarray:
+    """Part id per element. method: 'auto' (default: measure both and keep
+    the smaller face cut — never worse than either), 'graph' (spectral
+    cut-minimizing) or 'rcb' (geometric bisection). On the structured
+    box.msh RCB's straight-line cuts win; on the irregular coastal
+    R_8km_circle.msh the spectral partitioner wins — auto picks per-mesh."""
+    if method == "rcb":
+        cent = mesh.verts[mesh.etov].mean(axis=1)
+        return rcb_partition(cent, n_parts)
+    if method == "graph":
+        return graph_partition(mesh.etoe, n_parts)
+    if method == "auto":
+        pg = graph_partition(mesh.etoe, n_parts)
+        cent = mesh.verts[mesh.etov].mean(axis=1)
+        pr = rcb_partition(cent, n_parts)
+        cg = partition_cut(mesh.etoe, pg)
+        cr = partition_cut(mesh.etoe, pr)
+        return pg if cg < cr else pr
+    raise ValueError(f"unknown partition method {method!r}")
+
+
+def partition_mesh(mesh: Mesh2D, n_parts: int, method: str = "auto"
+                   ) -> tuple[Mesh2D, np.ndarray, int]:
     """Reorder elements into contiguous shard blocks.
 
     Returns (reordered mesh, permutation giving the old element index of
@@ -49,10 +177,8 @@ def partition_mesh(mesh: Mesh2D, n_parts: int) -> tuple[Mesh2D, np.ndarray, int]
     the RCB sorted-split yields exactly equal blocks (Kp = K/n_parts);
     otherwise callers must pad fields to Kp per shard (see pad_elements).
     """
-    K = mesh.num_elements
     verts = mesh.verts
-    cent = verts[mesh.etov].mean(axis=1)
-    part = rcb_partition(cent, n_parts)
+    part = compute_partition(mesh, n_parts, method)
 
     # stable sort by part id -> contiguous blocks, preserving locality
     perm = np.argsort(part, kind="stable")
@@ -95,11 +221,18 @@ def rcm_order(mesh: Mesh2D) -> tuple[Mesh2D, np.ndarray]:
     return new_mesh, perm
 
 
+def partition_block_sizes(mesh: Mesh2D, n_parts: int, method: str = "auto"
+                          ) -> np.ndarray:
+    """Per-shard element counts of the partition — MUST be called with the
+    same method as `partition_mesh` so padding sizes line up (both run the
+    same deterministic partitioner)."""
+    return np.bincount(compute_partition(mesh, n_parts, method),
+                       minlength=n_parts)
+
+
 def rcb_block_sizes(mesh: Mesh2D, n_parts: int) -> np.ndarray:
-    """Per-shard element counts of the RCB partition (the block sizes
-    `partition_mesh` produces for the same mesh/n_parts)."""
-    cent = mesh.verts[mesh.etov].mean(axis=1)
-    return np.bincount(rcb_partition(cent, n_parts), minlength=n_parts)
+    """Back-compat alias: block sizes of the RCB partition specifically."""
+    return partition_block_sizes(mesh, n_parts, method="rcb")
 
 
 def pad_context(ctx, sizes):

@@ -41,6 +41,39 @@ def test_rcb_balanced():
     assert counts.min() == counts.max() == 8
 
 
+def test_graph_partition_cut_quality():
+    """VERDICT r3 item 5: the cut-minimizing partitioner must produce
+    balanced parts and a smaller face cut than RCB on at least one
+    irregular mesh; 'auto' is never worse than RCB on any mesh."""
+    import os
+
+    from blitzdg_tpu.parallel import compute_partition, partition_cut
+
+    paths = ["/root/reference/input/R_8km_circle.msh",
+             "/root/reference/input/box.msh"]
+    if not all(os.path.exists(p) for p in paths):
+        pytest.skip("reference meshes unavailable")
+    from blitzdg_tpu.mesh import read_gmsh
+
+    beat_rcb_somewhere = False
+    for path in paths:
+        mesh = read_gmsh(path)
+        for n in (4, 8):
+            pg = compute_partition(mesh, n, method="graph")
+            pr = compute_partition(mesh, n, method="rcb")
+            pa = compute_partition(mesh, n, method="auto")
+            # exact balance (same proportional split as RCB)
+            counts = np.bincount(pg, minlength=n)
+            assert counts.max() - counts.min() <= 1, counts
+            cg = partition_cut(mesh.etoe, pg)
+            cr = partition_cut(mesh.etoe, pr)
+            ca = partition_cut(mesh.etoe, pa)
+            assert ca <= min(cg, cr)
+            if "R_8km" in path and cg < cr:
+                beat_rcb_somewhere = True
+    assert beat_rcb_somewhere, "graph partitioner never beat RCB on the irregular coastal mesh"
+
+
 def test_partition_preserves_mesh():
     mesh0 = box_triangles(4, 4)
     mesh, perm, kp = partition_mesh(mesh0, 4)
@@ -321,11 +354,11 @@ class TestGhostPadding:
 
     def _padded_problem(self, n_shards):
         from blitzdg_tpu.mesh import read_gmsh
-        from blitzdg_tpu.parallel import pad_context, rcb_block_sizes
+        from blitzdg_tpu.parallel import pad_context, partition_block_sizes
 
         mesh0 = read_gmsh("/root/reference/input/box.msh")
         assert mesh0.num_elements % n_shards != 0  # padding is exercised
-        sizes = rcb_block_sizes(mesh0, n_shards)
+        sizes = partition_block_sizes(mesh0, n_shards)
         mesh, _, kp = partition_mesh(mesh0, n_shards)
         ctx = build_triangle_context(1, mesh)
         ctx_p, real = pad_context(ctx, sizes)
@@ -460,13 +493,13 @@ from jax.sharding import Mesh, PartitionSpec as P
 from blitzdg_tpu.mesh import read_gmsh
 from blitzdg_tpu.ops.sw2d import SWPhysics, SWState, sw2d_rhs
 from blitzdg_tpu.parallel import (build_halo_plan, context_shard_specs,
-    halo_sw2d_rhs, halo_tables, pad_context, partition_mesh, rcb_block_sizes)
+    halo_sw2d_rhs, halo_tables, pad_context, partition_mesh, partition_block_sizes)
 from blitzdg_tpu.specgrid.triangle import build_triangle_context
 
 NDEV = 16
 mesh0 = read_gmsh("/root/reference/input/coarse_box.msh")
 assert mesh0.num_elements == 40
-sizes = rcb_block_sizes(mesh0, NDEV)
+sizes = partition_block_sizes(mesh0, NDEV)
 mesh, _, kp = partition_mesh(mesh0, NDEV)
 ctx = build_triangle_context(1, mesh)
 ctx_p, real = pad_context(ctx, sizes)
