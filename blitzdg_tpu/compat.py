@@ -438,12 +438,23 @@ class Poisson2DSparseMatrix:
     (nnz, 3) triplets."""
 
     def __init__(self, dgContext: _ContextView, meshManager: MeshManager,
-                 bordered: bool = False, skipDG: bool = False):
-        from .ops.poisson import assemble_poisson2d
+                 bordered: bool = False, skipDG: bool = False,
+                 gaussFaceContext=None, cubatureContext=None):
+        """Nodal path by default; passing the Gauss-face + cubature contexts
+        selects the CURVED cubature/Gauss SIP assembly — the reference's
+        curved ctor overload (pyblitzdg.cpp:194-199 ->
+        Poisson2DSparseMatrix.cpp:37-317)."""
+        from .ops.poisson import assemble_poisson2d, assemble_poisson2d_curved
         from .ops.sem import assemble_sem_poisson
 
         ctx = dgContext._ctx
-        if skipDG:
+        if gaussFaceContext is not None or cubatureContext is not None:
+            assert gaussFaceContext is not None and cubatureContext is not None
+            gauss = getattr(gaussFaceContext, "_gauss", gaussFaceContext)
+            cub = getattr(cubatureContext, "_cub", cubatureContext)
+            self._OP, self._MM = assemble_poisson2d_curved(
+                ctx, cub, gauss, bordered=bordered)
+        elif skipDG:
             self._OP, self._MM = assemble_sem_poisson(ctx)
         else:
             self._OP, self._MM = assemble_poisson2d(ctx, bordered=bordered)

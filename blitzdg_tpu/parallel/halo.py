@@ -140,25 +140,71 @@ def halo_tables(plan: HaloPlan):
             jnp.asarray(plan.pflip))
 
 
-def halo_face_rows(rows, plan_row, plan: HaloPlan, axis_name: str):
+def _ppermute(x, axis_name, perm):
+    """Injectable collective hook: the ONE call site every halo exchange
+    goes through. examples/scaling_study.py overrides this (and asserts it
+    fired) to measure the comm share of a step — patching here is robust
+    to how jax.lax is imported (ADVICE r3)."""
+    return jax.lax.ppermute(x, axis_name, perm)
+
+
+def halo_comm_model(plan: HaloPlan, width: int, n_fields: int,
+                    itemsize: int = 4, ici_gbps: float = 45.0,
+                    latency_us: float = 1.0) -> dict:
+    """Analytic per-step halo cost for hardware the host can't measure.
+
+    bytes/shard/exchange = n_fields * width * itemsize * sum_d(max_send):
+    every active ring offset ships its padded (max_send, width) face buffer.
+    Projection: time = latency_us per collective + bytes / ICI bandwidth
+    (v5e: ~45 GB/s per direction per link). Returns a dict for
+    SCALING_*.json."""
+    per_off_rows = int(plan.max_send)
+    n_off = max(len(plan.offs), 1)
+    bytes_per_exchange = n_fields * per_off_rows * width * itemsize * n_off
+    t_us = n_off * latency_us + bytes_per_exchange / (ici_gbps * 1e3)
+    return {
+        "halo_rows_per_offset": per_off_rows,
+        "ring_offsets": list(plan.offs),
+        "bytes_per_shard_per_exchange": bytes_per_exchange,
+        "ici_gbps_assumed": ici_gbps,
+        "collective_latency_us_assumed": latency_us,
+        "projected_exchange_us": round(t_us, 3),
+    }
+
+
+def halo_face_rows(rows, plan_row, plan: HaloPlan, axis_name: str,
+                   halo_dtype=None):
     """'+' face rows from local '-' face rows (n_fields, F_loc, w): one
     ppermute per active ring offset, then per-face source gather + flip.
-    Width-agnostic — w is Nfp for nodal traces, NG for Gauss traces."""
+    Width-agnostic — w is Nfp for nodal traces, NG for Gauss traces.
+
+    All ppermutes are ISSUED before any receive is consumed, so XLA's
+    latency-hiding scheduler can overlap the exchange with whatever
+    independent (volume) compute the caller has pending — the halo analog
+    of comm/compute overlap in ring attention.
+
+    ``halo_dtype`` (e.g. jnp.bfloat16) compresses the shipped traces: only
+    the cross-shard buffer is cast, local faces keep full precision. The
+    '+' trace is only flux-stabilization input, so bf16 halos trade
+    ~1e-3-relative face-flux noise for half the ICI bytes — opt-in."""
     n = plan.n_shards
     send_idx, psrc, pflip = plan_row
     parts = [rows]
     for di, d in enumerate(plan.offs):
         buf = jnp.take(rows, send_idx[di], axis=1)  # (nF, max_send, w)
-        recv = jax.lax.ppermute(
+        if halo_dtype is not None:
+            buf = buf.astype(halo_dtype)
+        recv = _ppermute(
             buf, axis_name, [(j, (j + d) % n) for j in range(n)]
         )
-        parts.append(recv)
+        parts.append(recv.astype(rows.dtype))
     comb = jnp.concatenate(parts, axis=1)
     out = jnp.take(comb, psrc, axis=1)  # (nF, F_loc, w)
     return jnp.where(pflip[None, :, None], out[..., ::-1], out)
 
 
-def halo_traces(fields, ctx, plan_row, plan: HaloPlan, axis_name: str):
+def halo_traces(fields, ctx, plan_row, plan: HaloPlan, axis_name: str,
+                halo_dtype=None):
     """'-' and '+' traces of a tuple of local (K_loc, Np) fields with
     cross-shard faces exchanged via one ppermute per active ring offset.
     plan_row: this shard's (send_idx, psrc, pflip) rows (leading shard axis
@@ -166,7 +212,7 @@ def halo_traces(fields, ctx, plan_row, plan: HaloPlan, axis_name: str):
     n_fp = ctx.n_fp
     fm = ctx.fmask.reshape(-1)
     fMf = jnp.stack([f[:, fm] for f in fields]).reshape(len(fields), -1, n_fp)
-    fP = halo_face_rows(fMf, plan_row, plan, axis_name)
+    fP = halo_face_rows(fMf, plan_row, plan, axis_name, halo_dtype=halo_dtype)
     nF = len(fields)
     return fMf.reshape(nF, -1), fP.reshape(nF, -1)
 
@@ -190,9 +236,13 @@ def halo_sw2d_rhs(
     plan: HaloPlan,  # static metadata (offs, n_shards); closed over
     axis_name: str = "element",
     tidal_forcing=None,
+    halo_dtype=None,
 ) -> SWState:
     """Full sw2d RHS for use INSIDE shard_map over the element axis, with
     ppermute halo exchange (communication is the halo, not the domain).
+    ``halo_dtype`` optionally compresses the shipped '+'-trace buffers
+    (see halo_face_rows) — bf16 halos halve ICI bytes at ~1e-3 relative
+    face-flux noise.
 
     Feature-parity with ops.sw2d.sw2d_rhs: wall reflection, BC_OUT tidal
     forcing (reference sw2d/main.cpp:347-353), hydrostatic-reconstruction
@@ -213,7 +263,8 @@ def halo_sw2d_rhs(
     fields = tuple(state) + ((phys.H,) if wb else ())
 
     plan_row = tuple(a[0] for a in tables)
-    fM, fP = halo_traces(fields, ctx, plan_row, plan, axis_name)
+    fM, fP = halo_traces(fields, ctx, plan_row, plan, axis_name,
+                         halo_dtype=halo_dtype)
     if wb:
         hM, huM, hvM, HMt = fM
         hP, huP, hvP, HPt = fP

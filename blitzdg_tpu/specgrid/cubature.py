@@ -90,6 +90,17 @@ class GaussFaceContext2D:
     mapP: jnp.ndarray
     bc_idx: dict[int, jnp.ndarray]
     bc_mask: dict[int, jnp.ndarray]
+    # derivative interpolation + per-element geometric factors at the face
+    # Gauss nodes (curved SIP operator needs basis normal derivatives at the
+    # faces; reference analog GaussFaceContext2D rx..sy,
+    # src/TriangleNodesProvisioner.cpp:207-381)
+    Dr: jnp.ndarray | None = None  # (Nfaces*NG, Np)
+    Ds: jnp.ndarray | None = None
+    rx: jnp.ndarray | None = None  # (K, Nfaces*NG)
+    ry: jnp.ndarray | None = None
+    sx: jnp.ndarray | None = None
+    sy: jnp.ndarray | None = None
+    J: jnp.ndarray | None = None
 
 
 def build_cubature_context(n_order, mesh, x, y, V_nodal, order=None, dtype=jnp.float64):
@@ -224,4 +235,8 @@ def build_gauss_face_context(
         mapM=jnp.asarray(mapM.astype(np.int32)),
         mapP=jnp.asarray(mapP.astype(np.int32)),
         bc_idx=bc_idx, bc_mask=bc_mask,
+        Dr=to(Drg), Ds=to(Dsg),
+        rx=to(ys / Jg), ry=to(-xs / Jg),
+        sx=to(-yr / Jg), sy=to(xr / Jg),
+        J=to(Jg),
     )

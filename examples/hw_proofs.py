@@ -111,7 +111,10 @@ def wetdry_positivity():
         interpret=accel.platform == "cpu"))
     h = np.asarray(B.unpack_state(meta, out[0])[0])
     assert np.isfinite(h).all()
-    assert h.min() >= 0.0, h.min()
+    # the claim cited in PARITY.md is the LIMITER floor, not mere
+    # non-negativity: check h actually stays at/above h_floor (small
+    # tolerance for the f32 kernel's rounding) (ADVICE r3)
+    assert h.min() >= h_floor * (1.0 - 1e-3), h.min()
     print(f"wetdry positivity: h in [{h.min():.1e}, {h.max():.2f}] after "
           f"{n_steps} beach steps ({time.perf_counter() - t0:.0f}s) — OK")
 

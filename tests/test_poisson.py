@@ -522,3 +522,119 @@ class TestAssembledQuads:
         assert diff < 1e-3, diff
         err = np.max(np.abs(u_asm - np.asarray(uex).reshape(-1)))
         assert err < 5e-3, err
+
+
+class TestCurvedSIP:
+    """Assembled curved (cubature/Gauss) SIP operator — the independent
+    host oracle for the curved elliptic path (VERDICT r3 missing #1;
+    reference analog src/Poisson2DSparseMatrix.cpp:37-317 with its
+    as-shipped defects fixed — see assemble_poisson2d_curved docstring)."""
+
+    @pytest.fixture(scope="class")
+    def disk(self):
+        from blitzdg_tpu.mesh.curved import (
+            circle_projection, gordon_hall_deform, snap_boundary_vertices)
+        from blitzdg_tpu.mesh.generators import disk_triangles
+        from blitzdg_tpu.specgrid.cubature import (
+            build_cubature_context, build_gauss_face_context)
+
+        N = 3
+        mesh = disk_triangles(3, radius=1.0)
+        proj = circle_projection(0.0, 0.0, 1.0)
+        curved_faces = snap_boundary_vertices(mesh, proj, tol=0.3)
+        ctx_host = build_triangle_context(N, mesh, dtype=None)
+        x2, y2, _ = gordon_hall_deform(N, mesh, ctx_host.x, ctx_host.y,
+                                       curved_faces, proj)
+        ctx = build_triangle_context(N, mesh, coords=(x2, y2))
+        cub = build_cubature_context(N, mesh, x2, y2, ctx_host.V)
+        gauss = build_gauss_face_context(N, mesh, x2, y2, ctx_host.V)
+        return ctx, cub, gauss
+
+    def test_assembled_symmetric_and_matches_matrix_free(self, disk):
+        """OP is symmetric; the matrix-free device SIP op applies the SAME
+        operator to machine precision (operator-level cross-check)."""
+        from blitzdg_tpu.ops.poisson import (
+            assemble_poisson2d_curved, poisson2d_curved_sip_op)
+
+        ctx, cub, gauss = disk
+        OP, MM = assemble_poisson2d_curved(ctx, cub, gauss)
+        scale = abs(OP).max()
+        assert abs(OP - OP.T).max() < 1e-12 * scale
+        rng = np.random.default_rng(0)
+        u = rng.standard_normal((ctx.k_elem, ctx.n_p))
+        Au_asm = (OP @ u.reshape(-1)).reshape(ctx.k_elem, ctx.n_p)
+        Au_dev = np.asarray(poisson2d_curved_sip_op(ctx, cub, gauss,
+                                                    jnp.asarray(u)))
+        rel = np.abs(Au_asm - Au_dev).max() / np.abs(Au_asm).max()
+        assert rel < 1e-12, rel
+
+    def test_splu_vs_device_cg_disk(self, disk):
+        """Gordon-Hall disk, -Lap u = 4 with u=0 on the TRUE circle
+        (u_exact = 1 - x^2 - y^2): host splu on the assembled oracle and
+        device CG on the matrix-free SIP op agree to 1e-8, and both hit
+        the exact solution at curved-geometry discretization accuracy."""
+        import scipy.sparse.linalg as spla
+
+        from blitzdg_tpu.ops.poisson import (
+            apply_mass_curved, assemble_poisson2d_curved,
+            poisson2d_curved_sip_op)
+
+        ctx, cub, gauss = disk
+        OP, MM = assemble_poisson2d_curved(ctx, cub, gauss)
+        f = 4.0 * jnp.ones((ctx.k_elem, ctx.n_p))
+        u_asm = spla.splu(OP.tocsc()).solve(
+            MM @ np.asarray(f).reshape(-1))
+
+        b = apply_mass_curved(cub, f).reshape(-1)
+
+        def matvec(v):
+            return poisson2d_curved_sip_op(
+                ctx, cub, gauss, v.reshape(ctx.k_elem, ctx.n_p)).reshape(-1)
+
+        res = cg(matvec, jnp.asarray(b), tol=1e-13, maxiter=20000)
+        assert int(res.flag) == CONV_SUCCESS
+        diff = np.max(np.abs(np.asarray(res.x) - u_asm))
+        assert diff < 1e-8, diff  # same discretization, solver-level only
+
+        uex = 1.0 - np.asarray(ctx.x) ** 2 - np.asarray(ctx.y) ** 2
+        err = np.max(np.abs(u_asm.reshape(ctx.k_elem, ctx.n_p) - uex))
+        assert err < 2e-3, err  # curved-geometry discretization accuracy
+
+    def test_sip_vs_ldg_solutions_agree(self, disk):
+        """The (distinct) LDG matrix-free curved discretization solves the
+        same problem to the same solution within discretization accuracy."""
+        from blitzdg_tpu.ops.poisson import (
+            apply_mass_curved, poisson2d_curved_op, poisson2d_curved_sip_op)
+
+        ctx, cub, gauss = disk
+        f = 4.0 * jnp.ones((ctx.k_elem, ctx.n_p))
+        b = apply_mass_curved(cub, f).reshape(-1)
+
+        sol = {}
+        for name, op in (("sip", poisson2d_curved_sip_op),
+                         ("ldg", poisson2d_curved_op)):
+            mv = lambda v: op(ctx, cub, gauss,
+                              v.reshape(ctx.k_elem, ctx.n_p)).reshape(-1)
+            res = cg(mv, jnp.asarray(b), tol=1e-11, maxiter=20000)
+            assert int(res.flag) == CONV_SUCCESS, name
+            sol[name] = np.asarray(res.x)
+        assert np.max(np.abs(sol["sip"] - sol["ldg"])) < 5e-3
+
+    def test_compat_curved_ctor_overload(self, disk):
+        """pyblitzdg curved ctor parity (pyblitzdg.cpp:194-199): passing
+        gauss+cubature contexts selects the curved assembly and exposes
+        (nnz,3) triplets."""
+        from blitzdg_tpu.compat import Poisson2DSparseMatrix
+        from blitzdg_tpu.ops.poisson import assemble_poisson2d_curved
+
+        ctx, cub, gauss = disk
+
+        class _View:  # minimal _ContextView stand-in
+            _ctx = ctx
+
+        mat = Poisson2DSparseMatrix(_View(), None, gaussFaceContext=gauss,
+                                    cubatureContext=cub)
+        trip = mat.getOP()
+        assert trip.shape[1] == 3
+        OP, _ = assemble_poisson2d_curved(ctx, cub, gauss)
+        assert trip.shape[0] == OP.nnz
