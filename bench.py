@@ -76,10 +76,16 @@ def cfl_dt(ctx, g, h_max, cfl=0.7):
     return cfl / (((ctx.n_order + 1) ** 2) * 0.5 * fs * c)
 
 
-def numpy_forward_rollout_time(ctx, dt, n_steps, reps=3):
+def numpy_forward_rollout_time(ctx, dt, n_steps, reps=3, coastal=None):
     """Single-threaded numpy SSP-RK2 sw2d rollout (the CPU reference model).
     Mirrors the reference computeRHS data flow (gathers + flux algebra +
-    BLAS GEMMs) in plain numpy, f64, one scenario."""
+    BLAS GEMMs) in plain numpy, f64, one scenario.
+
+    ``coastal``: optional dict(H, Hx, Hy, cd, f_cor, tidal, obc) adding the
+    full reference sw2d physics (src/sw2d/main.cpp:279-484) — hydrostatic-
+    reconstruction star fluxes over bathymetry, bed-slope source, quadratic
+    drag, Coriolis, tidal BC_OUT forcing — so the CPU model does the SAME
+    work as the coastal headline kernel."""
     K = ctx.k_elem
     n_tr = ctx.n_faces * ctx.n_fp
     Dr, Ds = np.asarray(ctx.Dr), np.asarray(ctx.Ds)
@@ -95,11 +101,21 @@ def numpy_forward_rollout_time(ctx, dt, n_steps, reps=3):
     g = 9.81
 
     x = np.asarray(ctx.x)
-    h = 10.0 + np.exp(-10.0 * (x**2))
+    if coastal is not None:
+        Hb = np.asarray(coastal["H"])
+        Hbx, Hby = np.asarray(coastal["Hx"]), np.asarray(coastal["Hy"])
+        cd, f_cor = coastal["cd"], coastal["f_cor"]
+        h0_t, amp_t, om_t, tau_t = coastal["tidal"]
+        obc = np.asarray(coastal["obc"])  # flat trace indices
+        HbM = Hb.reshape(-1)[vmapM]
+        HbP = Hb.reshape(-1)[vmapP]
+        h = Hb.copy()
+    else:
+        h = 10.0 + np.exp(-10.0 * (x**2))
     hu = np.zeros_like(h)
     hv = np.zeros_like(h)
 
-    def rhs(h, hu, hv):
+    def rhs(h, hu, hv, t):
         out = []
         hf, huf, hvf = h.reshape(-1), hu.reshape(-1), hv.reshape(-1)
         hM, hP = hf[vmapM], hf[vmapP].copy()
@@ -108,22 +124,47 @@ def numpy_forward_rollout_time(ctx, dt, n_steps, reps=3):
         un2 = 2.0 * (huM[wall] * nx[wall] + hvM[wall] * ny[wall])
         huP[wall] = huM[wall] - un2 * nx[wall]
         hvP[wall] = hvM[wall] - un2 * ny[wall]
-        dh, dhu, dhv = hM - hP, huM - huP, hvM - hvP
 
         def flux(hh, hhu, hhv):
             inv = 1.0 / hh
             return (hhu, hhu * hhu * inv + 0.5 * g * hh * hh, hhu * hhv * inv,
                     hhv, hhu * hhv * inv, hhv * hhv * inv + 0.5 * g * hh * hh)
 
-        F1M, F2M, F3M, G1M, G2M, G3M = flux(hM, huM, hvM)
-        F1P, F2P, F3P, G1P, G2P, G3P = flux(hP, huP, hvP)
-        spdM = np.sqrt((huM / hM) ** 2 + (hvM / hM) ** 2) + np.sqrt(g * hM)
-        spdP = np.sqrt((huP / hP) ** 2 + (hvP / hP) ** 2) + np.sqrt(g * hP)
+        if coastal is not None:
+            # tidal open boundary + star-variable well-balancing
+            ramp = min(t / tau_t, 1.0) if tau_t > 0 else 1.0
+            hP[obc] = h0_t + amp_t * np.cos(om_t * t) * ramp
+            uM, vM = huM / hM, hvM / hM
+            uP, vP = huP / hP, hvP / hP
+            bstar = np.maximum(-HbM, -HbP)
+            hMs = np.maximum(0.0, hM - HbM - bstar)
+            hPs = np.maximum(0.0, hP - HbP - bstar)
+            corr = (hM - hMs) * (uM * nx + vM * ny)
+
+            def flux_uv(hh, uu, vv):
+                pr = 0.5 * g * hh * hh
+                return (hh * uu, hh * uu * uu + pr, hh * uu * vv,
+                        hh * vv, hh * uu * vv, hh * vv * vv + pr)
+
+            F1M, F2M, F3M, G1M, G2M, G3M = flux_uv(hMs, uM, vM)
+            F1P, F2P, F3P, G1P, G2P, G3P = flux_uv(hPs, uP, vP)
+            spdM = np.sqrt(uM * uM + vM * vM) + np.sqrt(g * hMs)
+            spdP = np.sqrt(uP * uP + vP * vP) + np.sqrt(g * hPs)
+            dh, dhu, dhv = hMs - hPs, F1M - F1P, G1M - G1P
+        else:
+            F1M, F2M, F3M, G1M, G2M, G3M = flux(hM, huM, hvM)
+            F1P, F2P, F3P, G1P, G2P, G3P = flux(hP, huP, hvP)
+            spdM = np.sqrt((huM / hM) ** 2 + (hvM / hM) ** 2) + np.sqrt(g * hM)
+            spdP = np.sqrt((huP / hP) ** 2 + (hvP / hP) ** 2) + np.sqrt(g * hP)
+            dh, dhu, dhv = hM - hP, huM - huP, hvM - hvP
+            corr = None
         lam = np.maximum(spdM, spdP).reshape(-1, ctx.n_fp).max(axis=1, keepdims=True)
         lam = np.broadcast_to(lam, (lam.shape[0], ctx.n_fp)).reshape(-1)
         d1 = 0.5 * ((F1M - F1P) * nx + (G1M - G1P) * ny - lam * dh)
         d2 = 0.5 * ((F2M - F2P) * nx + (G2M - G2P) * ny - lam * dhu)
         d3 = 0.5 * ((F3M - F3P) * nx + (G3M - G3P) * ny - lam * dhv)
+        if corr is not None:
+            d1, d2, d3 = d1 + corr, d2 + corr * uM, d3 + corr * vM
         F1, F2, F3, G1, G2, G3 = flux(h, hu, hv)
         div = lambda F, G: (rx * (F @ Dr.T) + sx * (F @ Ds.T)
                             + ry * (G @ Dr.T) + sy * (G @ Ds.T))
@@ -131,16 +172,23 @@ def numpy_forward_rollout_time(ctx, dt, n_steps, reps=3):
         out.append(-div(F1, G1) + surf(d1))
         out.append(-div(F2, G2) + surf(d2))
         out.append(-div(F3, G3) + surf(d3))
+        if coastal is not None:
+            u, v = hu / h, hv / h
+            nrm = np.sqrt(u * u + v * v)
+            out[1] += g * h * Hbx - cd * nrm * u + f_cor * hv
+            out[2] += g * h * Hby - cd * nrm * v - f_cor * hu
         return [o @ filt.T for o in out]
 
     def one_rollout():
         t0 = time.perf_counter()
         hh, huu, hvv = h.copy(), hu.copy(), hv.copy()
+        t = 0.0
         for _ in range(n_steps):
-            r1, r2, r3 = rhs(hh, huu, hvv)
+            r1, r2, r3 = rhs(hh, huu, hvv, t)
             h1, hu1, hv1 = hh + 0.5 * dt * r1, huu + 0.5 * dt * r2, hvv + 0.5 * dt * r3
-            r1, r2, r3 = rhs(h1, hu1, hv1)
+            r1, r2, r3 = rhs(h1, hu1, hv1, t + 0.5 * dt)
             hh, huu, hvv = hh + dt * r1, huu + dt * r2, hvv + dt * r3
+            t += dt
         assert np.isfinite(hh).all(), "baseline rollout went non-finite"
         return time.perf_counter() - t0
 
@@ -172,10 +220,29 @@ def main():
     from blitzdg_tpu.ops.sw2d_dense import build_dense_trace_ops
     from blitzdg_tpu.ops.sw2d_pallas import build_pallas_step_ops, make_rollout
 
+    from blitzdg_tpu.context import BC_OUT
+
     ref = "/root/reference/input/coarse_box.msh"
     mesh = read_gmsh(ref) if os.path.exists(ref) else box_triangles(4, 5)
     N = 1
-    phys = SWPhysics(g=9.81)
+
+    # FULL coastal configuration (round-4, VERDICT item 4): the headline
+    # now measures the flagship physics — shelf bathymetry with
+    # hydrostatic-reconstruction well-balanced fluxes, quadratic drag
+    # CD=2.5e-3 (reference sw2d/main.cpp:476), Coriolis, tidal BC_OUT
+    # forcing on the east boundary (main.cpp:347-353 pattern).
+    xv = mesh.verts[:, 0]
+    xmin, xmax = float(xv.min()), float(xv.max())
+    bc = _np.asarray(mesh.bc_type).copy()
+    for k in range(mesh.num_elements):
+        for f in range(3):
+            a, b = mesh.etov[k, f], mesh.etov[k, (f + 1) % 3]
+            mx = 0.5 * (mesh.verts[a, 0] + mesh.verts[b, 0])
+            if bc[k, f] > 0 and abs(mx - xmax) < 1e-9 * max(1.0, abs(xmax)):
+                bc[k, f] = BC_OUT
+    mesh.set_bc_type(bc)
+
+    H_TIDE_AMP, H_TIDE_OMEGA = 0.2, 2.0
 
     def staged(f):
         if stage is None:
@@ -183,23 +250,35 @@ def main():
         with stage():
             return f()
 
+    def _bathy(ctx):
+        # shelf: depth 8 m at the west wall to 12 m at the open east side
+        span = max(xmax - xmin, 1e-30)
+        H = 8.0 + 4.0 * (ctx.x - xmin) / span
+        Hx = (4.0 / span) * jnp.ones_like(H)
+        Hy = jnp.zeros_like(H)
+        return H, Hx, Hy
+
     def _setup1():
         ctx = build_triangle_context(N, mesh, filter_cutoff=0.9 * N,
                                      filter_order=N, dtype=jnp.float32)
+        H, Hx, Hy = _bathy(ctx)
+        phys1 = SWPhysics(g=9.81, cd=2.5e-3, f_cor=1e-4, H=H, Hx=Hx, Hy=Hy)
+        tidal = (12.0, H_TIDE_AMP, H_TIDE_OMEGA, 0.02)
         dense = build_dense_trace_ops(ctx)
         bump = _np.exp(-8.0 * (_np.asarray(ctx.x) ** 2
                                + _np.asarray(ctx.y) ** 2))
         # precision='high' (manual bf16_3x, ops/_mxu.py): 1.44x the
         # 'highest' solve rate; optimized costs agree to ~3% (measured)
         ops1, meta1 = build_pallas_step_ops(
-            ctx, dense, phys, _np.stack([bump, 0 * bump]),
-            _np.stack([0 * bump, bump]), precision="high")
+            ctx, dense, phys1, _np.stack([bump, 0 * bump]),
+            _np.stack([0 * bump, bump]), precision="high", tidal=tidal)
+        assert meta1.coastal and meta1.wb and meta1.has_bathy
         M = ctx.Vinv.T @ ctx.Vinv
         w = M @ jnp.ones((ctx.n_p,), dtype=ctx.J.dtype)
         wj = jnp.pad((w[None, :] * ctx.J).reshape(-1),
                      (0, meta1.n_vp - meta1.n_v)).astype(jnp.float32)
         vmask = (jnp.arange(meta1.n_vp) < meta1.n_v).astype(jnp.float32)
-        h0 = jnp.full((ctx.k_elem, ctx.n_p), 10.0, dtype=jnp.float32)
+        h0 = H.astype(jnp.float32)  # coastal rest state: h = H(x, y)
         state0 = SWState(h=h0, hu=jnp.zeros_like(h0), hv=jnp.zeros_like(h0))
         states = jax.tree.map(
             lambda a: jnp.broadcast_to(a, (BATCH,) + a.shape), state0)
@@ -207,19 +286,23 @@ def main():
         targets = jax.vmap(
             lambda o: 1e-3 * jnp.exp(-5.0 * ((ctx.x - o) ** 2 + ctx.y**2))
         )(offs).astype(jnp.float32)
-        return ctx, ops1, meta1, wj, vmask, states, targets
+        h_rest = jnp.pad(H.reshape(-1),
+                         (0, meta1.n_vp - meta1.n_v)).astype(jnp.float32)
+        return ctx, phys1, ops1, meta1, wj, vmask, states, targets, h_rest
 
-    _phase('setup: headline dense MPC')
-    ctx, ops1, meta1, wj1, vmask1, states, targets = staged(_setup1)
+    _phase('setup: headline coastal dense MPC')
+    (ctx, phys, ops1, meta1, wj1, vmask1, states, targets,
+     h_rest1) = staged(_setup1)
+    phys_flat = SWPhysics(g=9.81)  # phases 2-6 use the flat-bottom physics
     ctx_host = build_triangle_context(N, mesh, filter_cutoff=0.9 * N,
                                       filter_order=N, dtype=None)
     # CFL-derived dt (round-2 verdict: the old hardcoded 2e-3 exceeded the
-    # rest-state CFL limit 1.67e-3)
-    DT = cfl_dt(ctx_host, 9.81, 11.0, cfl=0.7)
+    # rest-state CFL limit 1.67e-3); coastal max depth 12 m + tide
+    DT = cfl_dt(ctx_host, 9.81, 12.0 + 2.0 * H_TIDE_AMP, cfl=0.7)
     if stage is not None:
-        ops1, wj1, vmask1, states, targets = (
+        ops1, wj1, vmask1, states, targets, h_rest1 = (
             jax.device_put(a, accel)
-            for a in (ops1, wj1, vmask1, states, targets))
+            for a in (ops1, wj1, vmask1, states, targets, h_rest1))
 
     prob = MPCProblem(ctx=ctx, phys=phys, dt=DT, horizon=HORIZON,
                       steps_per_control=STEPS_PER_CONTROL,
@@ -231,9 +314,10 @@ def main():
 
     solve = jax.jit(
         lambda s, tg: solve_mpc_pallas(prob, pm, s, tg, 2, iters=ITERS,
-                                       learning_rate=0.05).cost
+                                       learning_rate=0.05,
+                                       H_rest=h_rest1).cost
     )
-    _phase('compile+run: headline dense MPC solve')
+    _phase('compile+run: headline coastal dense MPC solve')
     out = solve(states, targets)
     out.block_until_ready()  # compile
     assert bool(jnp.isfinite(out).all()), "MPC solve produced non-finite cost"
@@ -246,8 +330,22 @@ def main():
         out.block_until_ready()
         tpu_time = min(tpu_time, (time.perf_counter() - t0) / 2)
     tpu_solves_per_s = BATCH / tpu_time
+    extra["headline_physics"] = (
+        "coastal: wb bathymetry shelf + drag cd=2.5e-3 + coriolis 1e-4 "
+        "+ tidal BC_OUT (both TPU kernel and CPU baseline model)")
 
-    fwd = numpy_forward_rollout_time(ctx_host, DT, n_steps)
+    # CPU baseline does the SAME coastal work (obc trace indices from ctx)
+    _obc_idx = _np.asarray(ctx_host.bc_maps.idx[BC_OUT])
+    _obc_msk = _np.asarray(ctx_host.bc_maps.mask[BC_OUT])
+    Hh, Hhx, Hhy = _bathy(ctx_host)
+    coastal_cfg = {
+        "H": _np.asarray(Hh), "Hx": _np.asarray(Hhx), "Hy": _np.asarray(Hhy),
+        "cd": 2.5e-3, "f_cor": 1e-4,
+        "tidal": (12.0, H_TIDE_AMP, H_TIDE_OMEGA, 0.02),
+        "obc": _obc_idx[_obc_msk],
+    }
+    fwd = numpy_forward_rollout_time(ctx_host, DT, n_steps,
+                                     coastal=coastal_cfg)
     cpu_solves_per_s = 1.0 / (ITERS * 3.0 * fwd)
 
     # ========== blocked fused rollout + MPC adjoint at K=2048 ==========
@@ -268,7 +366,7 @@ def main():
         # precision='high' = manual bf16_3x MXU dots (ops/_mxu.py): the
         # speed path — 1.4x the 'highest' step rate at ~8e-4 absolute
         # state drift per 128 steps on an O(1) wave (measured)
-        o2, m2 = build_blocked_step_ops(c2, phys, dtype=jnp.float32,
+        o2, m2 = build_blocked_step_ops(c2, phys_flat, dtype=jnp.float32,
                                         precision="high")
         h2 = 10.0 + jnp.exp(-10.0 * (c2.x**2 + c2.y**2))
         packed = [
@@ -325,6 +423,49 @@ def main():
     extra["dg_rollouts_vs_baseline"] = round(
         tpu_rollouts_per_s * cpu_rollout_time, 2)
 
+    # ====== blocked rollout at the reference's own order N=6 ===========
+    # (VERDICT r3 item 1: the reference's sw2d.py runs N=6, where Np=28
+    # packs the 128-row MXU 4x denser than N=3's Np=10; the full two-
+    # precision roofline decomposition lives in examples/roofline.py)
+    from blitzdg_tpu.ops.sw2d_blocked import padded_matmul_flops_per_step
+
+    def _setup2b():
+        c6b = build_triangle_context(6, mesh2, filter_cutoff=0.9 * 6,
+                                     filter_order=4, dtype=jnp.float32)
+        o6b, m6b = build_blocked_step_ops(c6b, phys_flat, dtype=jnp.float32,
+                                          precision="high")
+        h6b = 10.0 + jnp.exp(-10.0 * (c6b.x**2 + c6b.y**2))
+        pk = [pack_state(m6b, jnp.broadcast_to(f, (B2,) + f.shape))
+              for f in (h6b, jnp.zeros_like(h6b), jnp.zeros_like(h6b))]
+        return c6b, o6b, m6b, pk
+
+    _phase('setup+compile+run: blocked N=6 rollout')
+    ctx2b, ops2b, meta2b, packed2b = staged(_setup2b)
+    DT2B = cfl_dt(ctx2b, 9.81, 11.0, cfl=0.7)
+    if stage is not None:
+        ops2b = jax.device_put(ops2b, accel)
+        packed2b = [jax.device_put(a, accel) for a in packed2b]
+
+    def roll2b():
+        return sw2d_rollout_blocked(ops2b, meta2b, *packed2b, None, DT2B,
+                                    n_steps=N_MEAS)
+
+    out2b = jax.block_until_ready(roll2b())
+    assert bool(jnp.isfinite(out2b[0]).all()), "N=6 rollout non-finite"
+    best2b = 1e30
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out2b = jax.block_until_ready(roll2b())
+        best2b = min(best2b, time.perf_counter() - t0)
+    step6 = best2b / (N_MEAS * B2)
+    fl6 = matmul_flops_per_step(meta2b)
+    extra["dg_step_us_K2048_N6"] = round(1e6 * step6, 2)
+    extra["dg_step_N6_tflops"] = round(fl6 / step6 / 1e12, 3)
+    extra["dg_step_N6_mfu_pct_bf16peak"] = round(
+        100.0 * fl6 / step6 / V5E_BF16_PEAK, 3)
+    extra["dg_step_N6_useful_density_pct"] = round(
+        100.0 * fl6 / (3.0 * padded_matmul_flops_per_step(meta2b)), 2)
+
     # blocked MPC: forward + jax.vjp-in-kernel adjoint ON HARDWARE
     from blitzdg_tpu.mpc.blocked import BlockedMPC
     from blitzdg_tpu.ops.sw2d_blocked import make_rollout_blocked
@@ -335,7 +476,7 @@ def main():
         bump2 = _np.exp(-8.0 * (_np.asarray(ctx2.x) ** 2
                                 + _np.asarray(ctx2.y) ** 2))
         ops3, meta3 = build_blocked_step_ops(
-            ctx2, phys, _np.stack([bump2, 0 * bump2]),
+            ctx2, phys_flat, _np.stack([bump2, 0 * bump2]),
             _np.stack([0 * bump2, bump2]), dtype=jnp.float32,
             precision="high")
         M = ctx2.Vinv.T @ ctx2.Vinv
@@ -355,7 +496,7 @@ def main():
     if stage is not None:
         ops3 = jax.device_put(ops3, accel)
         wj3, st3, tg3 = (jax.device_put(a, accel) for a in (wj3, st3, tg3))
-    prob2 = MPCProblem(ctx=ctx2, phys=phys, dt=DT2, horizon=H3,
+    prob2 = MPCProblem(ctx=ctx2, phys=phys_flat, dt=DT2, horizon=H3,
                        steps_per_control=SPC3, q_eta=0.0,
                        q_terminal=1.0, r_control=1e-10)
     bm = BlockedMPC(rollout=make_rollout_blocked(ops3, meta3, DT2, SPC3),
@@ -382,7 +523,7 @@ def main():
             mesh4, _ = rcm_order(read_gmsh(box_path))
             c4 = build_triangle_context(2, mesh4, filter_cutoff=1.8,
                                         filter_order=4, dtype=jnp.float32)
-            o4, m4 = build_blocked_step_ops(c4, phys, dtype=jnp.float32,
+            o4, m4 = build_blocked_step_ops(c4, phys_flat, dtype=jnp.float32,
                                             trace_mode="onehot",
                                             precision="high")
             h4 = 10.0 + jnp.exp(-10.0 * (c4.x**2 + c4.y**2))
@@ -451,6 +592,64 @@ def main():
             1e3 * (time.perf_counter() - t0), 2)
         extra["poisson2d_gmres_restarts"] = int(r5.iters)
 
+        # ---- elliptic head-to-head (VERDICT r3 item 9) ----
+        # dispatch share: one trivially-jitted op on the same-size buffer
+        # measures the tunnel/launch floor the solve time includes
+        tiny = jax.jit(lambda v: v + 1.0)
+        jax.block_until_ready(tiny(b5))
+        t0 = time.perf_counter()
+        jax.block_until_ready(tiny(b5))
+        extra["poisson2d_dispatch_ms"] = round(
+            1e3 * (time.perf_counter() - t0), 2)
+
+        # host oracle on the SAME assembled triplets: splu factor + solve
+        import scipy.sparse.linalg as _spla
+
+        b5h = np.asarray(b5, dtype=np.float64)
+        t0 = time.perf_counter()
+        lu5 = _spla.splu(OP5.tocsc())
+        splu_factor_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(10):
+            lu5.solve(b5h)
+        splu_solve_s = (time.perf_counter() - t0) / 10
+        extra["poisson2d_splu_factor_ms"] = round(1e3 * splu_factor_s, 2)
+        extra["poisson2d_splu_solve_ms"] = round(1e3 * splu_solve_s, 3)
+
+        # batched-RHS regime (the one the TPU should win): NB independent
+        # right-hand sides solved simultaneously by vmapped GMRES vs
+        # sequential host splu back-substitutions
+        NB5 = 64
+        rng5 = np.random.default_rng(0)
+        offs5 = rng5.uniform(-0.5, 0.5, size=(NB5, 2)).astype(np.float32)
+        fs5 = jnp.stack([
+            apply_mass(ctx5, -(-2.0 * np.pi**2
+                               * jnp.sin(np.pi * (ctx5.x - ox))
+                               * jnp.sin(np.pi * (ctx5.y - oy)))
+                       ).reshape(-1)
+            for ox, oy in offs5])
+        bsolve5 = jax.jit(jax.vmap(
+            lambda b: gmres(mv5, b, tol=2e-4, restart=300, maxiter=5,
+                            precon=precon5).x))
+        _phase('compile+run: poisson batched-RHS gmres')
+        out5b = jax.block_until_ready(bsolve5(fs5))
+        assert bool(jnp.isfinite(out5b).all())
+        t0 = time.perf_counter()
+        out5b = jax.block_until_ready(bsolve5(fs5))
+        tb5 = time.perf_counter() - t0
+        extra["poisson2d_batched64_ms_per_rhs"] = round(1e3 * tb5 / NB5, 3)
+        host5 = np.stack([lu5.solve(np.asarray(b, dtype=np.float64))
+                          for b in fs5])
+        t0 = time.perf_counter()
+        for b in fs5:
+            lu5.solve(np.asarray(b, dtype=np.float64))
+        extra["poisson2d_splu_batched64_ms_per_rhs"] = round(
+            1e3 * (time.perf_counter() - t0) / NB5, 3)
+        # cross-check: the two solvers agree on the batched solutions
+        diff5 = float(np.max(np.abs(np.asarray(out5b) - host5)))
+        assert diff5 < 5e-3, diff5
+        extra["poisson2d_batched_vs_splu_maxdiff"] = round(diff5, 6)
+
     # ===== curved-dynamics batched MPC (BASELINE stretch config) =======
     from blitzdg_tpu.mesh import disk_triangles
     from blitzdg_tpu.mesh.curved import (
@@ -486,9 +685,9 @@ def main():
     bump6 = jnp.exp(-8.0 * (ctx6.x**2 + ctx6.y**2)).astype(jnp.float32)
 
     def curved_rhs(s, t):
-        return sw2d_curved_rhs(ctx6, cub6, gauss6, s, t, phys)
+        return sw2d_curved_rhs(ctx6, cub6, gauss6, s, t, phys_flat)
 
-    prob6 = MPCProblem(ctx=ctx6, phys=phys, dt=DT6, horizon=4,
+    prob6 = MPCProblem(ctx=ctx6, phys=phys_flat, dt=DT6, horizon=4,
                        steps_per_control=2, q_eta=0.0, q_terminal=1.0,
                        r_control=1e-10, rhs_fn=curved_rhs)
 

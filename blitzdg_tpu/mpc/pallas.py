@@ -80,7 +80,11 @@ def mpc_cost_pallas(
     th, _, _ = pm.rollout(hp, hup, hvp, controls)
     # states after each control block: step indices (j+1)*spc, j=0..H-1
     sel = th[:, jnp.arange(1, prob.horizon + 1) * spc]  # (B, H, nVp)
-    err = (sel - H_rest * pm.vmask[None, None, :]) - tp[:, None, :]
+    # H_rest: scalar rest depth, or a padded (nVp,) still-water depth field
+    # for coastal (bathymetry) problems where rest is h = H(x, y)
+    rest = (H_rest * pm.vmask if jnp.ndim(H_rest) == 0
+            else jnp.asarray(H_rest) * pm.vmask)
+    err = (sel - rest[None, None, :]) - tp[:, None, :]
     per_step = jnp.sum(pm.wj[None, None, :] * err * err, axis=-1)  # (B, H)
     running = jnp.sum(per_step, axis=-1) / prob.horizon
     terminal = per_step[:, -1]

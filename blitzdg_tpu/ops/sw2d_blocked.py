@@ -154,6 +154,22 @@ def matmul_flops_per_step(meta: BlockedMeta) -> float:
     return 2.0 * per_rhs
 
 
+def padded_matmul_flops_per_step(meta: BlockedMeta) -> float:
+    """EXECUTED MXU FLOPs of one SSP-RK2 step per precision pass — the
+    full padded kron(I_p, Op) matmuls the hardware actually runs ('rolls'
+    trace mode). useful/executed = p*Np^2/(p*NP)^2-style density: the kron
+    block-diagonal zeros and the Np->NP row padding are structural waste
+    the systolic array still clocks through. Multiply by the pass count
+    (bf16_3x = 3, f32 'highest' = 6) for total executed work."""
+    pNP, pNT, M = meta.p * meta.NP, meta.p * meta.NT, meta.M
+    per_rhs = (pNT * pNP * 3 * M        # EM trace extraction
+               + 2 * pNP * pNP * 5 * M  # DR, DS on the stacked flux block
+               + pNP * pNT * 3 * M)     # LIFT
+    if not meta.fold:
+        per_rhs += pNP * pNP * 3 * M
+    return 2.0 * 2.0 * per_rhs  # 2 FLOPs/MAC, 2 RHS evals
+
+
 def build_blocked_step_ops(
     ctx: DGContext2D,
     phys: SWPhysics,

@@ -8,10 +8,17 @@ every operator and every intermediate lives in VMEM, the MXU does back-to-
 back matmuls, and HBM sees only the state in and the state out.
 
 Scope (the MPC regime, reference workload sw2d coarse_box — BASELINE.md):
- - wall-only BCs (reflection folded into the dense '+'-trace operators,
-   see sw2d_dense.build_dense_trace_ops);
- - flat bottom, no drag/Coriolis (the bench physics); sources are additive
-   and can be folded in later;
+ - wall BCs (reflection folded into the dense '+'-trace operators,
+   see sw2d_dense.build_dense_trace_ops) plus tidal BC_OUT open-boundary
+   forcing hP = h0 + amp*cos(omega t)*ramp (reference sw2d/main.cpp:347-353;
+   the scalar is computed in-kernel from the step time);
+ - FULL coastal physics (round-4): bathymetry with hydrostatic-
+   reconstruction well-balanced star-variable fluxes (reference intent
+   sw2d/main.cpp:356-368, 419-421 — same derivation as ops.sw2d),
+   bed-slope sources, quadratic bottom drag, Coriolis. The adjoint of the
+   coastal RHS is obtained by `jax.vjp` of the SAME values function traced
+   inside the backward kernel (the blocked kernel's proven pattern); the
+   flat-bottom regime keeps the hand-derived VJP fast path;
  - control forcing LINEAR in the controls and t-independent:
    rhs_{hu,hv} += control @ BU/BV (covers the Gaussian-source MPC forcing);
  - K*Np and K*Nfaces*Nfp padded to the 128-lane boundary; padding lanes are
@@ -39,6 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..context import DGContext2D
 from ._mxu import precision_dot
 from .sw2d import SWPhysics
+from .sw2d_blocked import _roll  # pltpu.roll with an AD (transpose) rule
 from .sw2d_dense import DenseTraceOps
 
 LANE = 128
@@ -70,6 +78,13 @@ class PallasStepOps(NamedTuple):
     # control forcing injectors (CP, nVp): rhs_hu += c @ BU, rhs_hv += c @ BV
     BU: jnp.ndarray
     BV: jnp.ndarray
+    # coastal physics ((1,1) placeholders when off): bed slopes (1, nVp),
+    # still-water-depth traces (1, nTp; 1.0 pad), BC_OUT mask (1, nTp)
+    Hx: jnp.ndarray
+    Hy: jnp.ndarray
+    HMt: jnp.ndarray
+    HPt: jnp.ndarray
+    OBC: jnp.ndarray
 
 
 class PallasStepMeta(NamedTuple):
@@ -82,6 +97,19 @@ class PallasStepMeta(NamedTuple):
     cp: int  # padded control width
     g: float
     precision: str = "highest"  # MXU pass count, see ops/_mxu.py
+    cd: float = 0.0  # quadratic bottom drag
+    f_cor: float = 0.0  # Coriolis parameter
+    wb: bool = False  # hydrostatic-reconstruction well-balancing
+    has_bathy: bool = False  # bed-slope sources
+    # tidal BC_OUT params (h0, amp, omega, ramp_tau) or None
+    tidal: tuple | None = None
+
+    @property
+    def coastal(self) -> bool:
+        """Any physics beyond the flat-bottom wall-only regime (selects the
+        jax.vjp backward path over the hand-derived flat VJP)."""
+        return (self.wb or self.has_bathy or self.cd != 0.0
+                or self.f_cor != 0.0 or self.tidal is not None)
 
 
 def build_pallas_step_ops(
@@ -92,13 +120,13 @@ def build_pallas_step_ops(
     forcing_bv: np.ndarray | None = None,
     dtype=jnp.float32,
     precision: str = "highest",
+    tidal: tuple | None = None,  # (h0, amp, omega, ramp_tau) BC_OUT forcing
 ) -> tuple[PallasStepOps, PallasStepMeta]:
-    """Freeze the padded operator set. Host-side, runs once at setup."""
-    if phys.Hx is not None or phys.cd != 0.0 or phys.f_cor != 0.0:
-        raise NotImplementedError(
-            "pallas step kernel covers flat-bottom, drag-free, "
-            "Coriolis-free physics (the MPC bench regime)"
-        )
+    """Freeze the padded operator set. Host-side, runs once at setup.
+
+    Coastal physics (bathymetry/WB/drag/Coriolis from ``phys``, tidal
+    BC_OUT forcing from ``tidal``) is compiled into the kernel when
+    present — the round-3 NotImplementedError guard is gone."""
     K, n_p = ctx.k_elem, ctx.n_p
     n_fp, n_faces = ctx.n_fp, ctx.n_faces
     n_v, n_t = K * n_p, K * n_faces * n_fp
@@ -156,16 +184,43 @@ def build_pallas_step_ops(
     BU = padm(np.asarray(forcing_bu).reshape(n_ctrl, -1), cp, n_vp)
     BV = padm(np.asarray(forcing_bv).reshape(n_ctrl, -1), cp, n_vp)
 
+    # ---- coastal physics arrays ----
+    from ..context import BC_OUT
+
+    wb = phys.H is not None and phys.well_balanced
+    has_bathy = phys.Hx is not None
+    one11 = np.zeros((1, 1))
+    Hx = Hy = HMt = HPt = OBC = one11
+    if has_bathy:
+        Hx = padm(np.asarray(phys.Hx).reshape(1, -1), 1, n_vp)
+        Hy = padm(np.asarray(phys.Hy).reshape(1, -1), 1, n_vp)
+    if wb:
+        Hflat = np.asarray(phys.H).reshape(-1)
+        HMt = padm((np.asarray(dense.SM) @ Hflat).reshape(1, -1), 1, n_tp)
+        HPt = padm((np.asarray(dense.SP) @ Hflat).reshape(1, -1), 1, n_tp)
+        HMt[0, n_t:] = 1.0  # pad lanes see benign depth
+        HPt[0, n_t:] = 1.0
+    if tidal is not None:
+        obc = np.zeros(n_t)
+        oidx = np.asarray(ctx.bc_maps.idx[BC_OUT])
+        omsk = np.asarray(ctx.bc_maps.mask[BC_OUT])
+        obc[oidx[omsk]] = 1.0
+        OBC = padm(obc.reshape(1, -1), 1, n_tp)
+
     to = lambda a: jnp.asarray(a, dtype=dtype)
     ops = PallasStepOps(
         TRM=to(TRM), TRP=to(TRP), TPuu=to(TPuu), TPuv=to(TPuv),
         TPvu=to(TPvu), TPvv=to(TPvv), DxT=to(DxT), DyT=to(DyT),
         FILT=to(FILT), LFT=to(LFT), nx=to(nx), ny=to(ny),
         BU=to(BU), BV=to(BV),
+        Hx=to(Hx), Hy=to(Hy), HMt=to(HMt), HPt=to(HPt), OBC=to(OBC),
     )
     meta = PallasStepMeta(
         n_v=n_v, n_t=n_t, n_vp=n_vp, n_tp=n_tp, n_fp=n_fp,
         n_ctrl=n_ctrl, cp=cp, g=float(phys.g), precision=precision,
+        cd=float(phys.cd), f_cor=float(phys.f_cor), wb=wb,
+        has_bathy=has_bathy,
+        tidal=tuple(float(v) for v in tidal) if tidal is not None else None,
     )
     return ops, meta
 
@@ -203,17 +258,29 @@ def _group_max(spd, n_fp):
     n_lanes = spd.shape[-1]
     m = spd
     for j in range(1, n_fp):
-        a = pltpu.roll(spd, j, axis=1)
+        a = _roll(spd, j, 1)
         # shift by (j - n_fp) < 0 expressed as the equivalent positive roll
-        b = pltpu.roll(spd, n_lanes + j - n_fp, axis=1)
+        b = _roll(spd, n_lanes + j - n_fp, 1)
         m = jnp.maximum(m, jnp.where(lane % n_fp >= j, a, b))
     return m
 
 
-def _rhs(h, hu, hv, ctrl, o, meta: PallasStepMeta):
+def _safe_norm_p(u, v):
+    """sqrt(u^2+v^2) with a zero (not NaN) gradient at the origin —
+    required for the jax.vjp-in-kernel coastal adjoint (ops.sw2d analog)."""
+    r2 = u * u + v * v
+    r = jnp.sqrt(jnp.where(r2 > 0.0, r2, 1.0))
+    return jnp.where(r2 > 0.0, r, 0.0)
+
+
+def _rhs(h, hu, hv, t, ctrl, o, meta: PallasStepMeta):
     """One dense-trace shallow-water RHS on padded (B, nVp) values.
 
-    Pure jnp on values (not refs) — shared by the step and rollout kernels.
+    Pure jnp on values (not refs) — shared by the step and rollout kernels
+    (and by `jax.vjp` inside the coastal backward kernel). Physics matches
+    ops.sw2d.sw2d_rhs: wall reflection (in the trace operators), tidal
+    BC_OUT forcing, hydrostatic-reconstruction well-balanced star fluxes,
+    bed-slope/drag/Coriolis sources.
     """
     _mm = functools.partial(precision_dot, prec=meta.precision)
     g = meta.g
@@ -235,6 +302,61 @@ def _rhs(h, hu, hv, ctrl, o, meta: PallasStepMeta):
     hM = jnp.where(tmask, hM, 1.0)
     hP = jnp.where(tmask, hP, 1.0)
 
+    # tidal open boundary: prescribe total depth on BC_OUT trace nodes
+    # (reference sw2d/main.cpp:347-353; scalar computed in-kernel)
+    if meta.tidal is not None:
+        h0, amp, omega, ramp_tau = meta.tidal
+        ramp = jnp.minimum(t / ramp_tau, 1.0) if ramp_tau > 0 else 1.0
+        h_bc = h0 + amp * jnp.cos(omega * t) * ramp
+        hP = hP + o.OBC * (h_bc - hP)
+
+    nx, ny = o.nx, o.ny
+    if meta.wb:
+        # hydrostatic-reconstruction star variables (ops.sw2d._lf_flux_jumps;
+        # reference sw2d/main.cpp:356-368, 419-421 intent)
+        uM, vM = huM / hM, hvM / hM
+        uP, vP = huP / hP, hvP / hP
+        bstar = jnp.maximum(-o.HMt, -o.HPt)
+        hMs = jnp.maximum(0.0, hM - o.HMt - bstar)
+        hPs = jnp.maximum(0.0, hP - o.HPt - bstar)
+        corr = (hM - hMs) * (uM * nx + vM * ny)
+
+        def flux_uv(hh, uu, vv):
+            pr = 0.5 * g * hh * hh
+            return (hh * uu, hh * uu * uu + pr, hh * uu * vv,
+                    hh * vv, hh * uu * vv, hh * vv * vv + pr)
+
+        F1M, F2M, F3M, G1M, G2M, G3M = flux_uv(hMs, uM, vM)
+        F1P, F2P, F3P, G1P, G2P, G3P = flux_uv(hPs, uP, vP)
+        spdM = _safe_norm_p(uM, vM) + jnp.sqrt(g * hMs)
+        spdP = _safe_norm_p(uP, vP) + jnp.sqrt(g * hPs)
+        dq1, dq2, dq3 = hMs - hPs, F1M - F1P, G1M - G1P
+    else:
+        def flux_c(hh, hhu, hhv):
+            inv_h = 1.0 / hh
+            p = 0.5 * g * hh * hh
+            F2 = hhu * hhu * inv_h + p
+            G2 = hhu * hhv * inv_h
+            G3 = hhv * hhv * inv_h + p
+            return hhu, F2, G2, hhv, G2, G3
+
+        F1M, F2M, F3M, G1M, G2M, G3M = flux_c(hM, huM, hvM)
+        F1P, F2P, F3P, G1P, G2P, G3P = flux_c(hP, huP, hvP)
+        spdM = jnp.sqrt((huM / hM) ** 2 + (hvM / hM) ** 2) + jnp.sqrt(g * hM)
+        spdP = jnp.sqrt((huP / hP) ** 2 + (hvP / hP) ** 2) + jnp.sqrt(g * hP)
+        dq1, dq2, dq3 = hM - hP, huM - huP, hvM - hvP
+        corr = None
+
+    lam = _group_max(jnp.maximum(spdM, spdP), meta.n_fp)
+
+    dflux1 = 0.5 * ((F1M - F1P) * nx + (G1M - G1P) * ny - lam * dq1)
+    dflux2 = 0.5 * ((F2M - F2P) * nx + (G2M - G2P) * ny - lam * dq2)
+    dflux3 = 0.5 * ((F3M - F3P) * nx + (G3M - G3P) * ny - lam * dq3)
+    if corr is not None:
+        dflux1 = dflux1 + corr
+        dflux2 = dflux2 + corr * uM
+        dflux3 = dflux3 + corr * vM
+
     def flux(hh, hhu, hhv):
         inv_h = 1.0 / hh
         p = 0.5 * g * hh * hh
@@ -243,22 +365,23 @@ def _rhs(h, hu, hv, ctrl, o, meta: PallasStepMeta):
         G3 = hhv * hhv * inv_h + p
         return hhu, F2, G2, hhv, G2, G3
 
-    F1M, F2M, F3M, G1M, G2M, G3M = flux(hM, huM, hvM)
-    F1P, F2P, F3P, G1P, G2P, G3P = flux(hP, huP, hvP)
-
-    spdM = jnp.sqrt((huM / hM) ** 2 + (hvM / hM) ** 2) + jnp.sqrt(g * hM)
-    spdP = jnp.sqrt((huP / hP) ** 2 + (hvP / hP) ** 2) + jnp.sqrt(g * hP)
-    lam = _group_max(jnp.maximum(spdM, spdP), meta.n_fp)
-
-    nx, ny = o.nx, o.ny
-    dflux1 = 0.5 * ((F1M - F1P) * nx + (G1M - G1P) * ny - lam * (hM - hP))
-    dflux2 = 0.5 * ((F2M - F2P) * nx + (G2M - G2P) * ny - lam * (huM - huP))
-    dflux3 = 0.5 * ((F3M - F3P) * nx + (G3M - G3P) * ny - lam * (hvM - hvP))
-
     F1, F2, F3, G1, G2, G3 = flux(h, hu, hv)
     rhs1 = _mm(dflux1, o.LFT) - _mm(F1, o.DxT) - _mm(G1, o.DyT)
     rhs2 = _mm(dflux2, o.LFT) - _mm(F2, o.DxT) - _mm(G2, o.DyT)
     rhs3 = _mm(dflux3, o.LFT) - _mm(F3, o.DxT) - _mm(G3, o.DyT)
+
+    # sources (reference sw2d main.cpp:460-483; v-drag sign corrected)
+    if meta.has_bathy:
+        rhs2 = rhs2 + g * h * o.Hx
+        rhs3 = rhs3 + g * h * o.Hy
+    if meta.cd != 0.0:
+        u, v = hu / h, hv / h
+        nrm = _safe_norm_p(u, v)
+        rhs2 = rhs2 - meta.cd * nrm * u
+        rhs3 = rhs3 - meta.cd * nrm * v
+    if meta.f_cor != 0.0:
+        rhs2 = rhs2 + meta.f_cor * hv
+        rhs3 = rhs3 - meta.f_cor * hu
 
     if ctrl is not None:
         rhs2 = rhs2 + _mm(ctrl, o.BU)
@@ -266,38 +389,38 @@ def _rhs(h, hu, hv, ctrl, o, meta: PallasStepMeta):
     return rhs1, rhs2, rhs3
 
 
-def _eval_rhs(h, hu, hv, ctrl, o, meta, use_filter):
+def _eval_rhs(h, hu, hv, t, ctrl, o, meta, use_filter):
     _mm = functools.partial(precision_dot, prec=meta.precision)
-    r1, r2, r3 = _rhs(h, hu, hv, ctrl, o, meta)
+    r1, r2, r3 = _rhs(h, hu, hv, t, ctrl, o, meta)
     if use_filter:
         r1, r2, r3 = _mm(r1, o.FILT), _mm(r2, o.FILT), _mm(r3, o.FILT)
     return r1, r2, r3
 
 
-def _step_values(h, hu, hv, ctrl, o, meta, dt, use_filter):
+def _step_values(h, hu, hv, t, ctrl, o, meta, dt, use_filter):
     """One SSP-RK2 step on padded values (kernel-internal)."""
 
-    def eval_rhs(a, b, c):
-        return _eval_rhs(a, b, c, ctrl, o, meta, use_filter)
+    def eval_rhs(a, b, c, tt):
+        return _eval_rhs(a, b, c, tt, ctrl, o, meta, use_filter)
 
-    k1 = eval_rhs(h, hu, hv)
+    k1 = eval_rhs(h, hu, hv, t)
     h1 = h + 0.5 * dt * k1[0]
     hu1 = hu + 0.5 * dt * k1[1]
     hv1 = hv + 0.5 * dt * k1[2]
-    k2 = eval_rhs(h1, hu1, hv1)
+    k2 = eval_rhs(h1, hu1, hv1, t + 0.5 * dt)
     return h + dt * k2[0], hu + dt * k2[1], hv + dt * k2[2]
 
 
 _OP_FIELDS = len(PallasStepOps._fields)
 
 
-def _step_kernel(meta, dt, use_filter,
+def _step_kernel(meta, dt, t0, use_filter,
                  h_ref, hu_ref, hv_ref, ctrl_ref, *op_refs):
     *ops_list, oh_ref, ohu_ref, ohv_ref = op_refs
     o = PallasStepOps(*(r[:] for r in ops_list))
     ctrl = ctrl_ref[:] if meta.n_ctrl > 0 else None
     h2, hu2, hv2 = _step_values(
-        h_ref[:], hu_ref[:], hv_ref[:], ctrl, o, meta, dt, use_filter
+        h_ref[:], hu_ref[:], hv_ref[:], t0, ctrl, o, meta, dt, use_filter
     )
     oh_ref[:] = h2
     ohu_ref[:] = hu2
@@ -337,8 +460,8 @@ def _group_sum(x, n_fp):
     n_lanes = x.shape[-1]
     acc = x
     for j in range(1, n_fp):
-        a = pltpu.roll(x, j, axis=1)
-        b = pltpu.roll(x, n_lanes + j - n_fp, axis=1)
+        a = _roll(x, j, 1)
+        b = _roll(x, n_lanes + j - n_fp, 1)
         acc = acc + jnp.where(lane % n_fp >= j, a, b)
     return acc
 
@@ -496,7 +619,7 @@ def _eval_rhs_vjp(h, hu, hv, w1, w2, w3, o, oT, meta, use_filter):
     return hb, hub, hvb, cb
 
 
-def _rollout_kernel(meta, dt, spc, n_steps, use_filter,
+def _rollout_kernel(meta, dt, t0, spc, n_steps, use_filter,
                     h_ref, hu_ref, hv_ref, ctrl_ref, *refs):
     """Full rollout in one kernel invocation: the state lives in VMEM
     scratch across all steps; each step-start state is DMA'd to the HBM
@@ -530,8 +653,9 @@ def _rollout_kernel(meta, dt, spc, n_steps, use_filter,
             d.start()
         j = t // spc
         ctrl = ctrl_ref[:, j, :]
+        tt = t0 + t.astype(h_s.dtype) * dt
         h2, hu2, hv2 = _step_values(
-            h_s[:], hu_s[:], hv_s[:], ctrl, o, meta, dt, use_filter
+            h_s[:], hu_s[:], hv_s[:], tt, ctrl, o, meta, dt, use_filter
         )
         for d in dmas(t):
             d.wait()
@@ -549,7 +673,8 @@ def _rollout_kernel(meta, dt, spc, n_steps, use_filter,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("meta", "dt", "spc", "use_filter", "tile_b", "interpret"),
+    static_argnames=("meta", "dt", "spc", "use_filter", "tile_b", "interpret",
+                     "t0"),
 )
 def sw2d_rollout_pallas(
     ops: PallasStepOps,
@@ -563,6 +688,7 @@ def sw2d_rollout_pallas(
     use_filter: bool = True,
     tile_b: int = 256,
     interpret: bool = False,
+    t0: float = 0.0,
 ):
     """Fused SSP-RK2 rollout over n_ctrl_steps*spc steps.
 
@@ -588,7 +714,7 @@ def sw2d_rollout_pallas(
     traj_shape = jax.ShapeDtypeStruct((B, n_steps + 1, n_vp), h.dtype)
 
     kernel = functools.partial(
-        _rollout_kernel, meta, float(dt), spc, n_steps, use_filter
+        _rollout_kernel, meta, float(dt), float(t0), spc, n_steps, use_filter
     )
     return pl.pallas_call(
         kernel,
@@ -603,22 +729,33 @@ def sw2d_rollout_pallas(
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
+        # the coastal jax.vjp backward (and big-batch rollouts) exceed the
+        # conservative 16M scoped-vmem default (measured 16.9M at
+        # coarse_box B=512); v5e has 128M VMEM per core
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(h, hu, hv, ctrls, *ops)
 
 
 _OPT_FIELDS = len(PallasStepOpsT._fields)
 
 
-def _rollout_bwd_kernel(meta, dt, spc, n_steps, use_filter, ctrl_ref, *refs):
-    """Reverse sweep: hand-written adjoint of the SSP-RK2 rollout.
+def _rollout_bwd_kernel(meta, dt, t0, spc, n_steps, use_filter,
+                        ctrl_ref, *refs):
+    """Reverse sweep: adjoint of the SSP-RK2 rollout.
 
     For each step t (T-1 .. 0), the stored step-start state is DMA'd back
     in, the first RK stage is recomputed (rematerialization in VMEM), and
-    the adjoint state lambda is propagated through the hand-derived RHS
-    VJP:  s_{t+1} = s_t + dt*R(s_t + dt/2*R(s_t))  gives
+    the adjoint state lambda is propagated through the RHS VJP:
+      s_{t+1} = s_t + dt*R(s_t + dt/2*R(s_t))  gives
       a      = VJP_R(s_half)[dt*lambda]
       lambda = lambda + a + VJP_R(s_t)[(dt/2)*a].
     Stored-state cotangents (from the cost) are injected as they appear.
+
+    Flat-bottom regime: the hand-derived `_eval_rhs_vjp` fast path.
+    Coastal regime (meta.coastal): `jax.vjp` of the SAME `_eval_rhs`
+    values function, traced inside the kernel — the blocked kernel's
+    proven pattern (every primitive is differentiable in Mosaic).
     """
     p = 0
     o = PallasStepOps(*(r[:] for r in refs[p:p + _OP_FIELDS]))
@@ -669,18 +806,33 @@ def _rollout_bwd_kernel(meta, dt, spc, n_steps, use_filter, ctrl_ref, *refs):
         lhv = l_hv[:] + g_hv[:]
 
         h, hu, hv = s_h[:], s_hu[:], s_hv[:]
-        k1, k2, k3 = _eval_rhs(h, hu, hv, ctrl, o, meta, use_filter)
+        tt = t0 + t.astype(h.dtype) * dt
+        k1, k2, k3 = _eval_rhs(h, hu, hv, tt, ctrl, o, meta, use_filter)
         hh = h + 0.5 * dt * k1
         hhu = hu + 0.5 * dt * k2
         hhv = hv + 0.5 * dt * k3
 
-        ah, ahu, ahv, cba = _eval_rhs_vjp(
-            hh, hhu, hhv, dt * lh, dt * lhu, dt * lhv, o, oT, meta, use_filter
-        )
-        bh, bhu, bhv, cbb = _eval_rhs_vjp(
-            h, hu, hv, 0.5 * dt * ah, 0.5 * dt * ahu, 0.5 * dt * ahv,
-            o, oT, meta, use_filter,
-        )
+        if meta.coastal:
+            _, vjpB = jax.vjp(
+                lambda a, b, c3, cc: _eval_rhs(
+                    a, b, c3, tt + 0.5 * dt, cc, o, meta, use_filter),
+                hh, hhu, hhv, ctrl)
+            ah, ahu, ahv, cba = vjpB((dt * lh, dt * lhu, dt * lhv))
+            _, vjpA = jax.vjp(
+                lambda a, b, c3, cc: _eval_rhs(
+                    a, b, c3, tt, cc, o, meta, use_filter),
+                h, hu, hv, ctrl)
+            bh, bhu, bhv, cbb = vjpA(
+                (0.5 * dt * ah, 0.5 * dt * ahu, 0.5 * dt * ahv))
+        else:
+            ah, ahu, ahv, cba = _eval_rhs_vjp(
+                hh, hhu, hhv, dt * lh, dt * lhu, dt * lhv, o, oT, meta,
+                use_filter
+            )
+            bh, bhu, bhv, cbb = _eval_rhs_vjp(
+                h, hu, hv, 0.5 * dt * ah, 0.5 * dt * ahu, 0.5 * dt * ahv,
+                o, oT, meta, use_filter,
+            )
         l_h[:] = lh + ah + bh
         l_hu[:] = lhu + ahu + bhu
         l_hv[:] = lhv + ahv + bhv
@@ -707,7 +859,8 @@ def _rollout_bwd_kernel(meta, dt, spc, n_steps, use_filter, ctrl_ref, *refs):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("meta", "dt", "spc", "use_filter", "tile_b", "interpret"),
+    static_argnames=("meta", "dt", "spc", "use_filter", "tile_b", "interpret",
+                     "t0"),
 )
 def sw2d_rollout_bwd_pallas(
     ops: PallasStepOps,
@@ -725,6 +878,7 @@ def sw2d_rollout_bwd_pallas(
     use_filter: bool = True,
     tile_b: int = 256,
     interpret: bool = False,
+    t0: float = 0.0,
 ):
     B, n_steps_p1, n_vp = traj_h.shape
     n_steps = n_steps_p1 - 1
@@ -743,7 +897,8 @@ def sw2d_rollout_bwd_pallas(
     ]
 
     kernel = functools.partial(
-        _rollout_bwd_kernel, meta, float(dt), spc, n_steps, use_filter
+        _rollout_bwd_kernel, meta, float(dt), float(t0), spc, n_steps,
+        use_filter
     )
     return pl.pallas_call(
         kernel,
@@ -759,6 +914,11 @@ def sw2d_rollout_bwd_pallas(
         scratch_shapes=[pltpu.VMEM((tile_b, n_vp), jnp.float32)] * 9
         + [pltpu.SemaphoreType.DMA((6,))],
         interpret=interpret,
+        # the coastal jax.vjp backward (and big-batch rollouts) exceed the
+        # conservative 16M scoped-vmem default (measured 16.9M at
+        # coarse_box B=512); v5e has 128M VMEM per core
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(ctrls, *ops, *opsT, traj_h, traj_hu, traj_hv, tb_h, tb_hu, tb_hv)
 
 
@@ -770,16 +930,19 @@ def make_rollout(
     use_filter: bool = True,
     tile_b: int = 256,
     interpret: bool = False,
+    t0: float = 0.0,
 ):
     """Differentiable fused rollout: returns rollout(h, hu, hv, ctrls) ->
     (traj_h, traj_hu, traj_hv) with a custom VJP whose backward pass is the
-    hand-written Pallas adjoint kernel."""
+    Pallas adjoint kernel (hand-derived VJP in the flat regime, in-kernel
+    jax.vjp in the coastal regime)."""
     opsT = transpose_step_ops(ops)
 
     @jax.custom_vjp
     def rollout(h, hu, hv, ctrls):
         return sw2d_rollout_pallas(
-            ops, meta, h, hu, hv, ctrls, dt, spc, use_filter, tile_b, interpret
+            ops, meta, h, hu, hv, ctrls, dt, spc, use_filter, tile_b,
+            interpret, t0
         )
 
     def fwd(h, hu, hv, ctrls):
@@ -791,7 +954,7 @@ def make_rollout(
         tbh, tbhu, tbhv = tbar
         return sw2d_rollout_bwd_pallas(
             ops, opsT, meta, th, thu, thv, tbh, tbhu, tbhv, ctrls,
-            dt, spc, use_filter, tile_b, interpret,
+            dt, spc, use_filter, tile_b, interpret, t0,
         )
 
     rollout.defvjp(fwd, bwd)
@@ -800,7 +963,7 @@ def make_rollout(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("meta", "dt", "use_filter", "tile_b", "interpret"),
+    static_argnames=("meta", "dt", "use_filter", "tile_b", "interpret", "t0"),
 )
 def sw2d_step_pallas(
     ops: PallasStepOps,
@@ -813,6 +976,7 @@ def sw2d_step_pallas(
     use_filter: bool = True,
     tile_b: int = 128,
     interpret: bool = False,
+    t0: float = 0.0,
 ):
     """One fused SSP-RK2 shallow-water step. States stay in padded layout."""
     B, n_vp = h.shape
@@ -829,7 +993,8 @@ def sw2d_step_pallas(
         for op in ops
     ]
 
-    kernel = functools.partial(_step_kernel, meta, float(dt), use_filter)
+    kernel = functools.partial(_step_kernel, meta, float(dt), float(t0),
+                               use_filter)
     out = pl.pallas_call(
         kernel,
         grid=(B // tile_b,),
@@ -841,5 +1006,10 @@ def sw2d_step_pallas(
             jax.ShapeDtypeStruct((B, n_vp), h.dtype),
         ),
         interpret=interpret,
+        # the coastal jax.vjp backward (and big-batch rollouts) exceed the
+        # conservative 16M scoped-vmem default (measured 16.9M at
+        # coarse_box B=512); v5e has 128M VMEM per core
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(h, hu, hv, ctrl, *ops)
     return out

@@ -1,0 +1,177 @@
+"""Roofline decomposition of the blocked shallow-water step (VERDICT r3 #1).
+
+What binds the K=2048 fused step? The experiment: time the SAME rollout at
+two MXU precisions — 'high' (manual bf16_3x, 3 passes/matmul) and
+'highest' (full f32, 6 passes/matmul). The step time model is
+
+    t(P) = t_vpu_other + P * t_pass
+
+(P = passes; the flux algebra / rolls / masking are precision-independent
+VPU work), so two measurements solve for both unknowns:
+
+    t_pass      = (t6 - t3) / 3
+    t_mxu(bf16) = 3 * t_pass
+    t_vpu_other = t3 - 3 * t_pass
+
+From t_pass and the EXECUTED (padded kron) matmul FLOPs per pass we get the
+achieved MXU rate while matmuls run; from the USEFUL (unpadded) FLOPs we
+get the familiar MFU — and the decomposition shows exactly where the rest
+goes. Runs N=3 (bench config) plus the reference's own orders N=4
+(sw2d_curved.py:47) and N=6 (sw2d.py), K=2048, B=8 scenarios.
+
+Writes ROOFLINE.json (list payload) and prints a table. Run on the real
+chip (default env) — CPU runs measure nothing useful.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+_p = os.environ.get("JAX_PLATFORMS", "")
+if _p and "cpu" not in _p:
+    os.environ["JAX_PLATFORMS"] = _p + ",cpu"
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blitzdg_tpu.mesh import box_triangles
+from blitzdg_tpu.ops.sw2d import SWPhysics
+from blitzdg_tpu.ops.sw2d_blocked import (
+    build_blocked_step_ops,
+    matmul_flops_per_step,
+    pack_state,
+    padded_matmul_flops_per_step,
+    sw2d_rollout_blocked,
+)
+from blitzdg_tpu.specgrid.triangle import build_triangle_context
+
+V5E_BF16_PEAK = 197e12
+PASSES = {"high": 3, "highest": 6}
+B = 8
+N_MEAS = 2048
+
+
+def cfl_dt(ctx, g=9.81, h_max=11.0, cfl=0.7):
+    c = float(np.sqrt(g * h_max))
+    fs = float(np.abs(np.asarray(ctx.fscale)).max())
+    return cfl / (((ctx.n_order + 1) ** 2) * 0.5 * fs * c)
+
+
+def measure(n_order, precision, accel, stage):
+    def _setup():
+        mesh = box_triangles(32, 32)  # K = 2048
+        ctx = build_triangle_context(n_order, mesh,
+                                     filter_cutoff=0.9 * n_order,
+                                     filter_order=4, dtype=jnp.float32)
+        ops, meta = build_blocked_step_ops(ctx, SWPhysics(g=9.81),
+                                           dtype=jnp.float32,
+                                           precision=precision)
+        h = 10.0 + jnp.exp(-10.0 * (ctx.x**2 + ctx.y**2))
+        packed = [pack_state(meta, jnp.broadcast_to(f, (B,) + f.shape))
+                  for f in (h, jnp.zeros_like(h), jnp.zeros_like(h))]
+        return ctx, ops, meta, packed
+
+    if stage is None:
+        ctx, ops, meta, packed = _setup()
+    else:
+        with stage():
+            ctx, ops, meta, packed = _setup()
+        ops = jax.device_put(ops, accel)
+        packed = [jax.device_put(a, accel) for a in packed]
+    dt = cfl_dt(ctx)
+
+    def roll():
+        return sw2d_rollout_blocked(ops, meta, *packed, None, dt,
+                                    n_steps=N_MEAS)
+
+    out = jax.block_until_ready(roll())
+    assert bool(jnp.isfinite(out[0]).all())
+    best = 1e30
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(2):
+            out = roll()
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / 2)
+    step_s = best / (N_MEAS * B)
+    # VMEM-resident bytes: operators + 2 stage states (3 fields each)
+    op_bytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in ops)
+    st_bytes = 6 * meta.p * meta.NP * meta.M * 4
+    return meta, step_s, op_bytes + st_bytes
+
+
+def main():
+    accel = jax.devices()[0]
+    cpu_devs = [d for d in jax.devices("cpu")] if accel.platform != "cpu" else []
+    stage = (lambda: jax.default_device(cpu_devs[0])) if cpu_devs else None
+    rows = []
+    for n_order in (3, 4, 6):
+        t = {}
+        meta = None
+        for prec in ("high", "highest"):
+            print(f"[roofline] N={n_order} precision={prec} ...",
+                  file=sys.stderr, flush=True)
+            meta, step_s, vmem = measure(n_order, prec, accel, stage)
+            t[prec] = step_s
+        t3, t6 = t["high"], t["highest"]
+        t_pass = max((t6 - t3) / 3.0, 1e-12)
+        t_mxu3 = 3.0 * t_pass
+        t_other = t3 - t_mxu3
+        exec_flops = padded_matmul_flops_per_step(meta)  # per pass
+        useful = matmul_flops_per_step(meta)
+        row = {
+            "n_order": n_order,
+            "Np": meta.n_p, "NP_padded": meta.NP, "p_groups": meta.p,
+            "K": meta.k_elem, "M_lanes": meta.M,
+            "step_us_bf16x3": round(t3 * 1e6, 3),
+            "step_us_f32": round(t6 * 1e6, 3),
+            "inferred_us_per_matmul_pass": round(t_pass * 1e6, 3),
+            "mxu_share_of_bf16x3_step_pct": round(100 * t_mxu3 / t3, 1),
+            "vpu_rolls_other_us": round(t_other * 1e6, 3),
+            "executed_matmul_gflops_per_pass": round(exec_flops / 1e9, 3),
+            "achieved_mxu_tflops_during_matmul": round(
+                exec_flops / t_pass / 1e12, 1),
+            "achieved_mxu_pct_of_bf16_peak": round(
+                100 * exec_flops / t_pass / V5E_BF16_PEAK, 1),
+            "useful_flops_per_step_mflops": round(useful / 1e6, 2),
+            "useful_density_pct": round(100 * useful / (3 * exec_flops), 2),
+            "useful_mfu_pct_bf16x3": round(
+                100 * useful / t3 / V5E_BF16_PEAK, 2),
+            "vmem_resident_bytes": vmem,
+            "hbm_bytes_per_step": 0,  # state never leaves VMEM mid-rollout
+        }
+        rows.append(row)
+        print(f"N={n_order}: bf16x3 {t3*1e6:.2f} us | f32 {t6*1e6:.2f} us | "
+              f"pass {t_pass*1e6:.2f} us | MXU {row['mxu_share_of_bf16x3_step_pct']}% "
+              f"of step at {row['achieved_mxu_pct_of_bf16_peak']}% of peak | "
+              f"useful density {row['useful_density_pct']}% -> "
+              f"MFU {row['useful_mfu_pct_bf16x3']}%", flush=True)
+
+    payload = {
+        "device": getattr(accel, "device_kind", accel.platform),
+        "model": "t(P) = t_vpu + P*t_pass; P=3 (bf16x3) vs P=6 (f32) solves "
+                 "for t_pass and t_vpu; executed FLOPs = padded kron matmuls",
+        "peak_bf16_tflops": V5E_BF16_PEAK / 1e12,
+        "rows": rows,
+    }
+    out = os.environ.get("ROOFLINE_JSON", "/root/repo/ROOFLINE.json")
+    existing = []
+    if os.path.exists(out):
+        try:
+            prev = json.load(open(out))
+            existing = prev if isinstance(prev, list) else [prev]
+        except json.JSONDecodeError:
+            existing = []
+    existing.append(payload)
+    with open(out, "w") as f:
+        json.dump(existing, f, indent=1)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

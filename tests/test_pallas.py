@@ -201,3 +201,131 @@ def test_mpc_cost_and_solve_pallas(setup):
     assert np.all(np.isfinite(hist))
     assert np.all(hist[-1] < hist[0])
     assert sol.controls.shape == (B, H, 2)
+
+
+class TestCoastalPallas:
+    """Round-4: FULL coastal physics in the dense Pallas kernel (the r3
+    NotImplementedError guard is gone) — well-balanced star fluxes over
+    bathymetry, tidal BC_OUT forcing (in-kernel cos(omega t) ramp),
+    quadratic drag, Coriolis — against the XLA sw2d_rhs path, including
+    the jax.vjp-in-kernel adjoint."""
+
+    TIDE = (12.0, 0.5, 2.0, 10.0)  # h0, amp, omega, ramp_tau
+
+    @pytest.fixture(scope="class")
+    def coastal(self):
+        from blitzdg_tpu.context import BC_OUT
+
+        mesh = box_triangles(3, 3, xlim=(0.0, 1.0), ylim=(0.0, 1.0))
+        bc = np.asarray(mesh.bc_type).copy()
+        for k in range(mesh.num_elements):
+            for f in range(3):
+                a, b = mesh.etov[k, f], mesh.etov[k, (f + 1) % 3]
+                mx = 0.5 * (mesh.verts[a, 0] + mesh.verts[b, 0])
+                if bc[k, f] > 0 and abs(mx - 1.0) < 1e-12:
+                    bc[k, f] = BC_OUT
+        mesh.set_bc_type(bc)
+        ctx = build_triangle_context(1, mesh, filter_cutoff=0.9,
+                                     filter_order=1, dtype=jnp.float32)
+        H = 10.0 + 3.0 * ctx.x + 1.0 * jnp.sin(2.0 * ctx.y)
+        Hx = 3.0 * jnp.ones_like(H)
+        Hy = 2.0 * jnp.cos(2.0 * ctx.y)
+        phys = SWPhysics(g=9.81, cd=2.5e-3, f_cor=1e-4, H=H, Hx=Hx, Hy=Hy)
+        dense = build_dense_trace_ops(ctx)
+        bump = np.exp(-8.0 * (np.asarray(ctx.x) ** 2 + np.asarray(ctx.y) ** 2))
+        BU = np.stack([bump, 0 * bump])
+        BV = np.stack([0 * bump, bump])
+        ops, meta = build_pallas_step_ops(ctx, dense, phys, BU, BV,
+                                          tidal=self.TIDE)
+        assert meta.coastal and meta.wb and meta.has_bathy
+        return ctx, phys, bump, ops, meta
+
+    def _tidal(self, t):
+        h0, amp, omega, tau = self.TIDE
+        return h0 + amp * jnp.cos(omega * t) * jnp.minimum(t / tau, 1.0)
+
+    def _xla_step(self, ctx, phys, bump, s, ctrl, t, dt):
+        from blitzdg_tpu.ops.sw2d import sw2d_rhs
+
+        post = lambda f: apply_filter(ctx, f)
+
+        def rhs(ss, tt):
+            # sw2d_rhs is unbatched — vmap over the scenario axis
+            r = jax.vmap(lambda one: sw2d_rhs(ctx, one, tt, phys,
+                                              tidal_forcing=self._tidal))(ss)
+            return SWState(
+                h=r.h,
+                hu=r.hu + ctrl[:, 0, None, None] * bump[None],
+                hv=r.hv + ctrl[:, 1, None, None] * bump[None],
+            )
+
+        return ssprk2_step(rhs, s, t, dt, post_stage=post)
+
+    def _coastal_state(self, ctx, phys, B):
+        h = phys.H + 0.2 * jnp.exp(
+            -10.0 * ((ctx.x - 0.5) ** 2 + (ctx.y - 0.5) ** 2))
+        s = SWState(h=jnp.broadcast_to(h, (B,) + h.shape),
+                    hu=jnp.broadcast_to(0.1 * h, (B,) + h.shape),
+                    hv=jnp.broadcast_to(-0.05 * h, (B,) + h.shape))
+        return jax.tree.map(lambda a: a.astype(jnp.float32), s)
+
+    def test_coastal_step_matches_xla(self, coastal):
+        ctx, phys, bump, ops, meta = coastal
+        B, T0 = 4, 1.0
+        s = self._coastal_state(ctx, phys, B)
+        ctrl = 0.3 * jax.random.normal(jax.random.PRNGKey(3), (B, 2),
+                                       jnp.float32)
+        ref = self._xla_step(ctx, phys, bump, s, ctrl, T0, DT)
+        hp = pad_state(meta, s.h, 1.0)
+        hup = pad_state(meta, s.hu, 0.0)
+        hvp = pad_state(meta, s.hv, 0.0)
+        cpd = jnp.pad(ctrl, ((0, 0), (0, meta.cp - 2)))
+        oh, ohu, ohv = sw2d_step_pallas(ops, meta, hp, hup, hvp, cpd, DT,
+                                        interpret=True, tile_b=4, t0=T0)
+        for a, b in ((oh, ref.h), (ohu, ref.hu), (ohv, ref.hv)):
+            np.testing.assert_allclose(
+                np.asarray(unpad_state(meta, a, ctx.k_elem)), np.asarray(b),
+                atol=2e-5)
+
+    def test_coastal_rollout_and_vjp_match_xla(self, coastal):
+        ctx, phys, bump, ops, meta = coastal
+        B, H, SPC, T0 = 2, 2, 2, 1.0
+        s = self._coastal_state(ctx, phys, B)
+        ctrls = 0.3 * jax.random.normal(jax.random.PRNGKey(5), (B, H, 2),
+                                        jnp.float32)
+
+        rollout = make_rollout(ops, meta, DT, SPC, interpret=True, tile_b=2,
+                               t0=T0)
+        vm = (jnp.arange(meta.n_vp) < meta.n_v).astype(jnp.float32)
+        Hp = pad_state(meta, phys.H[None], 0.0)[0]
+
+        def pl_loss(h0, hu0, hv0, cs):
+            hp = pad_state(meta, h0, 1.0)
+            hup = pad_state(meta, hu0, 0.0)
+            hvp = pad_state(meta, hv0, 0.0)
+            cpd = jnp.pad(cs, ((0, 0), (0, 0), (0, meta.cp - 2)))
+            th, thu, thv = rollout(hp, hup, hvp, cpd)
+            t = H * SPC
+            return (jnp.sum(vm * (th[:, t] - Hp) ** 2)
+                    + 0.1 * jnp.sum(vm * thu[:, t] ** 2))
+
+        def xla_loss(h0, hu0, hv0, cs):
+            st = SWState(h=h0, hu=hu0, hv=hv0)
+            t = T0
+            for j in range(H):
+                for _ in range(SPC):
+                    st = self._xla_step(ctx, phys, bump, st, cs[:, j], t, DT)
+                    t += DT
+            return (jnp.sum((st.h - phys.H) ** 2)
+                    + 0.1 * jnp.sum(st.hu ** 2))
+
+        v0 = float(xla_loss(s.h, s.hu, s.hv, ctrls))
+        v1 = float(pl_loss(s.h, s.hu, s.hv, ctrls))
+        np.testing.assert_allclose(v1, v0, rtol=1e-4)
+
+        g0 = jax.grad(xla_loss, argnums=(0, 1, 2, 3))(s.h, s.hu, s.hv, ctrls)
+        g1 = jax.grad(pl_loss, argnums=(0, 1, 2, 3))(s.h, s.hu, s.hv, ctrls)
+        for a, b in zip(g1, g0):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.max(np.abs(b)) + 1e-30
+            assert np.max(np.abs(a - b)) / scale < 5e-4, scale

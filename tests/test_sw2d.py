@@ -272,23 +272,31 @@ class TestOracleParity:
         self._check(n_order=3, num_steps=25)
 
 
-def test_dense_path_rejects_well_balanced_bathymetry():
-    """sw2d_rhs_dense has no hydrostatic-reconstruction flux; the same
-    SWPhysics must not silently produce different dynamics than sw2d_rhs
-    (ADVICE r2) — it must refuse instead."""
-    import pytest
-
+def test_dense_path_full_coastal_matches_sw2d_rhs():
+    """Round-4: the dense path implements the full coastal physics (the r3
+    NotImplementedError guard is GONE) — well-balanced star fluxes, tidal
+    BC_OUT forcing, bed-slope/drag/Coriolis — and must match sw2d_rhs
+    exactly for the same SWPhysics."""
     from blitzdg_tpu.ops.sw2d_dense import build_dense_trace_ops, sw2d_rhs_dense
 
-    ctx, _, state = make_problem(N=1)
-    H = 10.0 + 0.1 * ctx.x
-    phys = SWPhysics(g=9.81, H=H, Hx=0.1 * jnp.ones_like(ctx.x),
-                     Hy=jnp.zeros_like(ctx.x))
+    ctx, _, state = make_problem(N=2)
+    rng = np.random.default_rng(3)
+    H = 10.0 + 2.0 * jnp.abs(ctx.x) + jnp.asarray(
+        rng.uniform(0.0, 3.0, size=(ctx.k_elem, 1)))
+    Hx, Hy = ctx.grad(H)
+    phys = SWPhysics(g=9.81, cd=2.5e-3, f_cor=1e-4, H=H, Hx=Hx, Hy=Hy)
+    # a non-trivial moving state over the bathymetry
+    state = SWState(h=H + 0.3 * jnp.exp(-5.0 * (ctx.x**2 + ctx.y**2)),
+                    hu=0.2 * jnp.ones_like(H), hv=-0.1 * jnp.ones_like(H))
     ops = build_dense_trace_ops(ctx)
-    with pytest.raises(NotImplementedError):
-        sw2d_rhs_dense(ctx, ops, state, 0.0, phys)
-    # explicit opt-out works (plain LF flux, same as sw2d_rhs would use)
-    phys_off = SWPhysics(g=9.81, H=H, Hx=phys.Hx, Hy=phys.Hy,
-                         well_balanced=False)
-    out = sw2d_rhs_dense(ctx, ops, state, 0.0, phys_off)
-    assert bool(jnp.isfinite(out.h).all())
+    ref = sw2d_rhs(ctx, state, 0.0, phys)
+    out = sw2d_rhs_dense(ctx, ops, state, 0.0, phys)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-11, atol=1e-11)
+    # lake at rest stays machine-zero through the dense WB flux too
+    rest = SWState(h=H, hu=jnp.zeros_like(H), hv=jnp.zeros_like(H))
+    r = sw2d_rhs_dense(ctx, ops, rest, 0.0, phys)
+    scale = float(9.81 * jnp.max(H) * jnp.max(jnp.abs(H)))
+    assert float(jnp.max(jnp.abs(r.h))) < 1e-12 * scale
+    assert float(jnp.max(jnp.abs(r.hu))) < 1e-12 * scale
