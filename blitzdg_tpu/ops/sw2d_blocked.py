@@ -102,6 +102,10 @@ class BlockedOps(NamedTuple):
     BV: jnp.ndarray
     FBU: jnp.ndarray  # filter-folded injectors ((1,1,1,1) when not fold)
     FBV: jnp.ndarray
+    # element-sharding: mask of '+'-trace slots whose values come from a
+    # REMOTE shard (delivered per stage as `ext` tensors); (1,1,1) when
+    # the kernel runs unsharded (parallel/blocked_shard.py)
+    EXTM: jnp.ndarray
 
 
 class BlockedMeta(NamedTuple):
@@ -412,6 +416,7 @@ def build_blocked_step_ops(
         H=to(Hpk), Hx=to(Hxp), Hy=to(Hyp), SPNG=to(SPNG),
         HMt=to(HMt), HPt=to(HPt),
         BU=to(BU), BV=to(BV), FBU=to(FBU), FBV=to(FBV),
+        EXTM=to(np.zeros((1, 1, 1))),
     )
     meta = BlockedMeta(
         n_p=n_p, n_fp=n_fp, n_faces=n_faces, k_elem=K,
@@ -578,7 +583,7 @@ def _safe_norm(u, v):
 
 
 def _rhs_blocked(h, hu, hv, t, ctrl, o: BlockedOps, meta: BlockedMeta,
-                 folded: bool):
+                 folded: bool, ext=None):
     """One shallow-water RHS on packed (p, NP, M) values.
 
     Same math as ops.sw2d.sw2d_rhs — wall reflection, tidal BC_OUT forcing,
@@ -605,6 +610,15 @@ def _rhs_blocked(h, hu, hv, t, ctrl, o: BlockedOps, meta: BlockedMeta,
     hP = _plus_trace(hM, o, meta)
     huP = _plus_trace(huM, o, meta)
     hvP = _plus_trace(hvM, o, meta)
+
+    # element-sharded mode: cut-face '+' traces come from the neighboring
+    # shard (exchanged OUTSIDE the kernel, parallel/blocked_shard.py);
+    # EXTM selects exactly those slots
+    if ext is not None:
+        eh, ehu, ehv = ext
+        hP = hP + o.EXTM * (eh - hP)
+        huP = huP + o.EXTM * (ehu - huP)
+        hvP = hvP + o.EXTM * (ehv - hvP)
 
     # wall reflection: huP = huM - 2 (u.n) nx etc. (masked overwrite)
     un2 = 2.0 * (huM * o.nx + hvM * o.ny)
@@ -758,9 +772,9 @@ def _rhs_blocked(h, hu, hv, t, ctrl, o: BlockedOps, meta: BlockedMeta,
     return rhs1, rhs2, rhs3
 
 
-def _eval_rhs(h, hu, hv, t, ctrl, o, meta, use_filter):
+def _eval_rhs(h, hu, hv, t, ctrl, o, meta, use_filter, ext=None):
     folded = meta.fold and use_filter
-    r1, r2, r3 = _rhs_blocked(h, hu, hv, t, ctrl, o, meta, folded)
+    r1, r2, r3 = _rhs_blocked(h, hu, hv, t, ctrl, o, meta, folded, ext=ext)
     if use_filter and not folded:
         M = meta.M
         rf = _vmm(o.FILT, jnp.concatenate([r1, r2, r3], axis=2), meta)
@@ -819,6 +833,89 @@ def _step_values(h, hu, hv, t, ctrl, o, meta, dt, use_filter):
 
 
 _OP_FIELDS = len(BlockedOps._fields)
+
+
+def _stage_kernel(meta, c_dt, t0, use_filter, emit_traces, *refs):
+    """One RK STAGE with external '+'-trace override:
+    out = base + c_dt * R(cur, ext). Used by the element-sharded driver
+    (parallel/blocked_shard.py) where the halo exchange must happen
+    between stages (each stage needs the traces of ITS input state).
+
+    ``emit_traces``: also output the packed '-' traces of the OUTPUT state
+    (one extra EM matmul) so the NEXT stage's halo exchange reads them
+    directly — no XLA-level unpack/gather between kernels."""
+    (bh, bhu, bhv, ch, chu, chv, eh, ehu, ehv, *rest) = refs
+    if emit_traces:
+        *ops_list, oh, ohu, ohv, otr = rest
+    else:
+        *ops_list, oh, ohu, ohv = rest
+    o = BlockedOps(*(r[:] for r in ops_list))
+    ext = (eh[0], ehu[0], ehv[0])
+    r1, r2, r3 = _eval_rhs(ch[0], chu[0], chv[0], t0, None, o, meta,
+                           use_filter, ext=ext)
+    h2 = bh[0] + c_dt * r1
+    hu2 = bhu[0] + c_dt * r2
+    hv2 = bhv[0] + c_dt * r3
+    oh[0] = h2
+    ohu[0] = hu2
+    ohv[0] = hv2
+    if emit_traces:
+        M = meta.M
+        h2m = jnp.where(o.vmask > 0, h2, 1.0)
+        otr[0] = _vmm(o.EM, jnp.concatenate(
+            [h2m, hu2 * o.vmask, hv2 * o.vmask], axis=2), meta)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("meta", "c_dt", "t0", "use_filter",
+                              "emit_traces", "interpret")
+)
+def sw2d_stage_blocked(
+    ops: BlockedOps,
+    meta: BlockedMeta,
+    base,  # tuple of 3 (B, p, NP, M) packed fields: the axpy base state
+    cur,   # tuple of 3: the stage-input state the RHS is evaluated at
+    ext,   # tuple of 3: remote '+'-trace values (B, p, NT, M), EXTM slots
+    c_dt: float,
+    t0: float = 0.0,
+    use_filter: bool = True,
+    emit_traces: bool = False,
+    interpret: bool = False,
+):
+    """out = base + c_dt * R(cur) with cut-face traces from `ext`;
+    optionally also returns the packed (B, p, NT, 3M) '-' traces of out."""
+    B, p, NP, M = base[0].shape
+    NT = meta.NT
+    vspec = pl.BlockSpec((1, p, NP, M), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((1, p, NT, M), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    op_specs = [
+        pl.BlockSpec(op.shape, lambda i, nd=op.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for op in ops
+    ]
+    kernel = functools.partial(_stage_kernel, meta, float(c_dt), float(t0),
+                               use_filter, emit_traces)
+    shp = jax.ShapeDtypeStruct((B, p, NP, M), base[0].dtype)
+    out_specs = [vspec, vspec, vspec]
+    out_shape = [shp, shp, shp]
+    if emit_traces:
+        out_specs.append(pl.BlockSpec((1, p, NT, 3 * M),
+                                      lambda i: (i, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, p, NT, 3 * M),
+                                              base[0].dtype))
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[vspec] * 6 + [tspec] * 3 + op_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(*base, *cur, *ext, *ops)
 
 
 def _step_kernel(meta, dt, t0, use_filter, has_ctrl,

@@ -1,0 +1,398 @@
+"""Element-sharded BLOCKED-kernel shallow water: per-shard fused Pallas
+steps + ppermute halo exchange between RK stages.
+
+Round-3 measured the XLA ppermute-halo path at ~575 us/step on one chip at
+K=2048/N=3 while the single-device blocked kernel does 7.7 us/step: the
+sharded path was ~75x off blocked-kernel speed. This module closes that
+gap: each shard runs the SAME packed (p, NP, M) Pallas stage kernel as the
+single-device path, and only the cut-face '+' traces cross shards:
+
+  per SSP-RK2 stage (the exchange must happen per stage — each stage's RHS
+  needs the traces of ITS OWN input state):
+    1. unpack the stage state to (K_loc, Np) (one XLA transpose),
+    2. exchange '+' face traces with `halo_face_rows` (ppermute per ring
+       offset, same tables as halo_sw2d_rhs),
+    3. repack the '+' rows to the packed trace layout (p, NT, M),
+    4. ONE Pallas stage kernel: out = base + c*dt*R(cur, ext) — the
+       in-kernel combo exchange resolves intra-shard faces; EXTM-masked
+       slots take the exchanged values.
+
+Setup builds per-shard BlockedOps with a UNION combo list (every shard
+runs the same SPMD program; a combo a shard doesn't have simply owns an
+all-zero cmask row) and cut faces self-connected locally (the override
+replaces their traces). Scope v1: flat-bottom wall-BC physics (the
+scaling workload); coastal terms follow the single-device kernel's
+pattern when needed.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..context import BC_WALL, DGContext2D
+from ..ops.sw2d_blocked import (
+    LANE,
+    SUB,
+    BlockedMeta,
+    BlockedOps,
+    _pad,
+    sw2d_stage_blocked,
+)
+from .halo import HaloPlan, build_halo_plan, halo_face_rows, halo_tables
+
+
+class ShardedBlocked(NamedTuple):
+    ops: BlockedOps  # every field stacked with a leading (n_shards,) axis
+    meta: BlockedMeta  # shared static meta (union combos)
+    plan: HaloPlan
+    tables: tuple  # halo_tables(plan)
+    n_shards: int
+    k_loc: int
+    # LEAN exchange tables (static, stacked per shard) consuming the
+    # kernel-emitted packed traces directly — no XLA-level unpack/gather:
+    #  send_flat: (n_shards, n_off, max_send*n_fp) flat idx into (p*NT*3M)
+    #  ext_idx:   (n_shards, n_cut_max*n_fp) flat scatter idx into (p*NT*M)
+    #             (out-of-range padding rows are dropped)
+    #  ext_src:   (n_shards, n_cut_max*n_fp) idx into the concatenated
+    #             receive buffer (n_off*max_send*n_fp), flips baked in
+    lean: tuple
+
+
+def build_sharded_blocked(
+    ctx: DGContext2D,
+    phys,
+    n_shards: int,
+    dtype=jnp.float32,
+    precision: str = "highest",
+    fold_filter: bool = True,
+) -> ShardedBlocked:
+    """Freeze per-shard blocked operator sets + the halo plan.
+
+    ctx must be built on a partitioned mesh (contiguous shard blocks,
+    K % n_shards == 0 — partition.partition_mesh / pad_context)."""
+    assert phys.H is None and phys.cd == 0.0 and phys.f_cor == 0.0, (
+        "blocked_shard v1 covers the flat-bottom wall-BC workload")
+    K, n_p = ctx.k_elem, ctx.n_p
+    n_fp, n_faces = ctx.n_fp, ctx.n_faces
+    n_tr = n_faces * n_fp
+    assert K % n_shards == 0, (K, n_shards)
+    k_loc = K // n_shards
+    NP, NT = _pad(n_p, SUB), _pad(n_tr, SUB)
+
+    if ctx.face_nbr is None:
+        raise ValueError("context lacks face-granular trace structure")
+    face_nbr = np.asarray(ctx.face_nbr).reshape(K, n_faces)
+    face_flip = np.asarray(ctx.face_flip).reshape(K, n_faces)
+    nbr_elem = face_nbr // n_faces
+    nbr_face = face_nbr % n_faces
+
+    p = max(1, min(LANE // NP, -(-k_loc // LANE)))
+    M = _pad(-(-k_loc // p), LANE)
+    Kp = p * M
+
+    # ---- per-shard localized face tables + UNION combo list ----
+    owner = nbr_elem // k_loc
+    combo_ids: dict[tuple, int] = {}
+    shard_entries = []  # per shard: list of (combo_id, s_grp, lane) targets
+    ext_rows = []       # per shard: (k_local, f) cut faces
+    for s in range(n_shards):
+        entries = []
+        cuts = []
+        base = s * k_loc
+        for kl in range(k_loc):
+            sg, l = divmod(kl, M)
+            for f in range(n_faces):
+                k2g = int(nbr_elem[base + kl, f])
+                if owner[base + kl, f] != s:
+                    # cut face: locally self-connected; override via EXTM
+                    key = (f, 0, 0, f, False)
+                    cuts.append((kl, f))
+                else:
+                    k2 = k2g - base
+                    s2, l2 = divmod(k2, M)
+                    key = (f, (sg - s2) % p, (l - l2) % M,
+                           int(nbr_face[base + kl, f]),
+                           bool(face_flip[base + kl, f]))
+                ci = combo_ids.setdefault(key, len(combo_ids))
+                entries.append((ci, sg, l))
+        shard_entries.append(entries)
+        ext_rows.append(cuts)
+    n_combos = len(combo_ids)
+    C_pad = _pad(max(n_combos, 1), SUB)
+    combos = tuple(combo_ids.keys())
+
+    # ---- shared reference-element operators ----
+    def padm(a, rows, cols):
+        out = np.zeros((rows, cols))
+        out[: a.shape[0], : a.shape[1]] = np.asarray(a)
+        return out
+
+    kron = lambda a: np.kron(np.eye(p), a)
+    EM = np.zeros((NT, NP))
+    EM[np.arange(n_tr), np.asarray(ctx.fmask).reshape(-1)] = 1.0
+    filt_np = np.asarray(ctx.filter)
+    DR = kron(padm(ctx.Dr, NP, NP))
+    DS = kron(padm(ctx.Ds, NP, NP))
+    FILT = kron(padm(filt_np, NP, NP))
+    LIFT = kron(padm(ctx.lift, NP, NT))
+    EMk = kron(EM)
+    if fold_filter:
+        FDR = kron(padm(filt_np @ np.asarray(ctx.Dr), NP, NP))
+        FDS = kron(padm(filt_np @ np.asarray(ctx.Ds), NP, NP))
+        FLIFT = kron(padm(filt_np @ np.asarray(ctx.lift), NP, NT))
+    else:
+        FDR = FDS = FLIFT = np.zeros((1, 1))
+
+    # global wall mask rows
+    wall_g = np.zeros((K, n_tr))
+    w_idx = np.asarray(ctx.bc_maps.idx[BC_WALL])
+    w_msk = np.asarray(ctx.bc_maps.mask[BC_WALL])
+    wall_g.reshape(-1)[w_idx[w_msk]] = 1.0
+
+    def padT3(a, rows, lo, fill=0.0):
+        """Shard slice of a (K, n) field -> packed (p, rows, M)."""
+        arr = np.asarray(a)[lo:lo + k_loc]
+        out = np.full((p, rows, M), fill)
+        n = arr.shape[1]
+        for sg in range(p):
+            a0, a1 = sg * M, min((sg + 1) * M, k_loc)
+            if a0 >= k_loc:
+                break
+            out[sg, :n, : a1 - a0] = arr[a0:a1].T
+        return out
+
+    # ---- per-shard stacked arrays ----
+    def stack(fn):
+        return np.stack([fn(s) for s in range(n_shards)])
+
+    def cmask_for(s):
+        cm = np.zeros((C_pad, p, M))
+        for ci, sg, l in shard_entries[s]:
+            cm[ci, sg, l] = 1.0
+        return cm
+
+    def extm_for(s):
+        em = np.zeros((p, NT, M))
+        for kl, f in ext_rows[s]:
+            sg, l = divmod(kl, M)
+            em[sg, f * n_fp:(f + 1) * n_fp, l] = 1.0
+        return em
+
+    def vmask_for(s):
+        vm = np.zeros((p, NP, M))
+        tm = np.zeros((p, NT, M))
+        for sg in range(p):
+            a0, a1 = sg * M, min((sg + 1) * M, k_loc)
+            if a0 >= k_loc:
+                break
+            vm[sg, :n_p, : a1 - a0] = 1.0
+            tm[sg, :n_tr, : a1 - a0] = 1.0
+        return vm, tm
+
+    vm0, tm0 = vmask_for(0)  # identical across shards (k_loc uniform)
+    ones_v = np.ones((p, NP, M))
+    zeros_v = np.zeros((p, NP, M))
+    ones_t = np.ones((p, NT, M))
+
+    to = lambda a: jnp.asarray(a, dtype=dtype)
+    rep = lambda a: jnp.broadcast_to(to(a), (n_shards,) + np.shape(a))
+    ops = BlockedOps(
+        DR=rep(DR), DS=rep(DS), FILT=rep(FILT), LIFT=rep(LIFT), EM=rep(EMk),
+        FDR=rep(FDR), FDS=rep(FDS), FLIFT=rep(FLIFT),
+        rx=to(stack(lambda s: padT3(ctx.rx, NP, s * k_loc))),
+        sx=to(stack(lambda s: padT3(ctx.sx, NP, s * k_loc))),
+        ry=to(stack(lambda s: padT3(ctx.ry, NP, s * k_loc))),
+        sy=to(stack(lambda s: padT3(ctx.sy, NP, s * k_loc))),
+        nx=to(stack(lambda s: padT3(ctx.nx, NT, s * k_loc))),
+        ny=to(stack(lambda s: padT3(ctx.ny, NT, s * k_loc))),
+        fscale=to(stack(lambda s: padT3(ctx.fscale, NT, s * k_loc))),
+        wall=to(stack(lambda s: padT3(wall_g, NT, s * k_loc))),
+        vmask=rep(vm0), tmask=rep(tm0),
+        cmask=to(stack(cmask_for)),
+        PH=rep(np.zeros((1, 1, 1))), fsel=rep(np.zeros((1, 1))),
+        obc=rep(np.zeros((p, NT, M))),
+        H=rep(ones_v), Hx=rep(zeros_v), Hy=rep(zeros_v),
+        SPNG=rep(zeros_v), HMt=rep(ones_t), HPt=rep(ones_t),
+        BU=rep(np.zeros((1, p, NP, M))), BV=rep(np.zeros((1, p, NP, M))),
+        FBU=rep(np.zeros((1, 1, 1, 1))), FBV=rep(np.zeros((1, 1, 1, 1))),
+        EXTM=to(stack(extm_for)),
+    )
+    meta = BlockedMeta(
+        n_p=n_p, n_fp=n_fp, n_faces=n_faces, k_elem=k_loc,
+        NP=NP, NT=NT, Kp=Kp, p=p, M=M, n_ctrl=0, g=float(phys.g),
+        cd=0.0, f_cor=0.0, wb=False, has_bathy=False, has_sponge=False,
+        fold=bool(fold_filter), tidal=None, combos=combos,
+        trace_mode="rolls", precision=precision,
+    )
+    plan = build_halo_plan(ctx, n_shards)
+
+    # ---- lean-exchange static tables (consume kernel-emitted traces) ----
+    n_off = max(len(plan.offs), 1)
+    ms = plan.max_send
+    f_loc = k_loc * n_faces
+    psrc = np.asarray(plan.psrc)    # (n_shards, f_loc)
+    pflip = np.asarray(plan.pflip)
+    send_idx = np.asarray(plan.send_idx)  # (n_shards, n_off?, max_send)
+    send_flat = np.zeros((n_shards, n_off, ms * n_fp), np.int32)
+    cut_lists = []
+    for s in range(n_shards):
+        for di in range(send_idx.shape[1]):
+            for slot in range(ms):
+                r = int(send_idx[s, di, slot])
+                kl, f = divmod(r, n_faces)
+                sg, l = divmod(kl, M)
+                for i in range(n_fp):
+                    send_flat[s, di, slot * n_fp + i] = (
+                        (sg * NT + f * n_fp + i) * (3 * M) + l)
+        cuts = [(r, int(psrc[s, r]) - f_loc, bool(pflip[s, r]))
+                for r in range(f_loc) if psrc[s, r] >= f_loc]
+        cut_lists.append(cuts)
+    n_cut_max = max((len(c) for c in cut_lists), default=0)
+    n_cut_max = max(n_cut_max, 1)
+    ext_idx = np.full((n_shards, n_cut_max * n_fp), p * NT * M, np.int32)
+    ext_src = np.zeros((n_shards, n_cut_max * n_fp), np.int32)
+    for s in range(n_shards):
+        for ci, (r, rslot, flip) in enumerate(cut_lists[s]):
+            kl, f = divmod(r, n_faces)
+            sg, l = divmod(kl, M)
+            di, slot = divmod(rslot, ms)
+            for j in range(n_fp):
+                src_node = n_fp - 1 - j if flip else j
+                ext_idx[s, ci * n_fp + j] = (sg * NT + f * n_fp + j) * M + l
+                ext_src[s, ci * n_fp + j] = (di * ms + slot) * n_fp + src_node
+    lean = (jnp.asarray(send_flat), jnp.asarray(ext_idx),
+            jnp.asarray(ext_src))
+
+    return ShardedBlocked(ops=ops, meta=meta, plan=plan,
+                          tables=halo_tables(plan), n_shards=n_shards,
+                          k_loc=k_loc, lean=lean)
+
+
+def pack_local(meta: BlockedMeta, f: jnp.ndarray) -> jnp.ndarray:
+    """(K_loc, Np) shard field -> packed (1, p, NP, M) (B=1)."""
+    p, M, NP = meta.p, meta.M, meta.NP
+    arr = jnp.pad(f, ((0, meta.Kp - f.shape[0]), (0, NP - f.shape[1])))
+    return arr.reshape(p, M, NP).transpose(0, 2, 1)[None]
+
+
+def unpack_local(meta: BlockedMeta, f: jnp.ndarray) -> jnp.ndarray:
+    """packed (1, p, NP, M) -> (K_loc, Np)."""
+    out = f[0].transpose(0, 2, 1).reshape(meta.Kp, meta.NP)
+    return out[: meta.k_elem, : meta.n_p]
+
+
+def _pack_traces(meta: BlockedMeta, rows: jnp.ndarray) -> jnp.ndarray:
+    """(K_loc, n_tr) '+'-trace rows -> packed (1, p, NT, M)."""
+    p, M, NT = meta.p, meta.M, meta.NT
+    n_tr = meta.n_faces * meta.n_fp
+    arr = jnp.pad(rows, ((0, meta.Kp - rows.shape[0]), (0, NT - n_tr)))
+    return arr.reshape(p, M, NT).transpose(0, 2, 1)[None]
+
+
+def make_sharded_blocked_step(sb: ShardedBlocked, ctx_fmask, dt: float,
+                              axis_name: str = "element",
+                              use_filter: bool = True,
+                              interpret: bool = False):
+    """Returns step(local_ops, tables_row, packed_state) for use INSIDE
+    shard_map over `axis_name`. packed_state = 3 (1, p, NP, M) fields.
+
+    ctx_fmask: np.asarray(ctx.fmask).reshape(-1) (static)."""
+    meta, plan = sb.meta, sb.plan
+    n_fp = meta.n_fp
+    fm = jnp.asarray(ctx_fmask)
+
+    def exchange(local_ops, plan_row, packed):
+        fields = tuple(unpack_local(meta, a) for a in packed)
+        fMf = jnp.stack([f[:, fm] for f in fields]).reshape(
+            len(fields), -1, n_fp)
+        fP = halo_face_rows(fMf, plan_row, plan, axis_name)
+        return tuple(
+            _pack_traces(meta, fP[i].reshape(meta.k_elem, -1))
+            for i in range(3))
+
+    def step(local_ops: BlockedOps, tables_row, packed, t):
+        plan_row = tuple(a[0] for a in tables_row)
+        o = jax.tree.map(lambda a: a[0], local_ops)
+        ext1 = exchange(local_ops, plan_row, packed)
+        s1 = sw2d_stage_blocked(o, meta, packed, packed, ext1, 0.5 * dt,
+                                t0=0.0, use_filter=use_filter,
+                                interpret=interpret)
+        ext2 = exchange(local_ops, plan_row, s1)
+        s2 = sw2d_stage_blocked(o, meta, packed, s1, ext2, dt,
+                                t0=0.0, use_filter=use_filter,
+                                interpret=interpret)
+        return s2
+
+    return step
+
+
+def initial_packed_traces(sb: ShardedBlocked, local_ops: BlockedOps,
+                          packed) -> jnp.ndarray:
+    """(1, p, NT, 3M) packed '-' traces of the packed state — seeds the
+    fused-step carry (subsequent traces come from the kernel itself)."""
+    meta = sb.meta
+    p, NP, NT, M = meta.p, meta.NP, meta.NT, meta.M
+    EM = local_ops.EM[0]
+    vm = local_ops.vmask[0]
+    h = jnp.where(vm > 0, packed[0][0], 1.0)
+    xs = jnp.concatenate([h, packed[1][0] * vm, packed[2][0] * vm],
+                         axis=2).reshape(p * NP, 3 * M)
+    return (EM @ xs).reshape(1, p, NT, 3 * M)
+
+
+def make_sharded_blocked_step_fused(sb: ShardedBlocked, dt: float,
+                                    axis_name: str = "element",
+                                    use_filter: bool = True,
+                                    interpret: bool = False):
+    """The FAST sharded step: the stage kernel emits the packed '-' traces
+    of its output, and the halo exchange is a static-index micro-path —
+    gather only the cut-face send rows from the packed traces, one
+    ppermute per ring offset, scatter the received rows into the EXTM ext
+    tensors. No per-step unpack, no full-trace gathers (the measured
+    XLA-glue cost of the naive step, ~400 us at K=2048, collapses to a
+    handful of tiny ops + 2 kernel launches).
+
+    Returns step(local_ops, lean_row, carry) -> carry with
+    carry = (packed_state_tuple, packed_traces)."""
+    from . import halo as halo_mod
+
+    meta, plan = sb.meta, sb.plan
+    p, NT, M = meta.p, meta.NT, meta.M
+    n = plan.n_shards
+
+    def lean_exchange(traces, lean_row):
+        send_flat, ext_idx, ext_src = (a[0] for a in lean_row)
+        flat = traces[0].reshape(-1)  # (p*NT*3M,)
+        outs = []
+        for di, d in enumerate(plan.offs):
+            buf = jnp.stack([jnp.take(flat, send_flat[di] + c * M)
+                             for c in range(3)])
+            outs.append(halo_mod._ppermute(
+                buf, axis_name, [(j, (j + d) % n) for j in range(n)]))
+        if outs:
+            rbuf = jnp.concatenate(outs, axis=1)
+            vals = jnp.take(rbuf, ext_src, axis=1)  # (3, n_cut_max*n_fp)
+        else:
+            vals = jnp.zeros((3, ext_idx.shape[0]), traces.dtype)
+        zero = jnp.zeros((p * NT * M,), traces.dtype)
+        return tuple(
+            zero.at[ext_idx].set(vals[c], mode="drop").reshape(1, p, NT, M)
+            for c in range(3))
+
+    def step(local_ops: BlockedOps, lean_row, carry, t):
+        packed, traces = carry
+        o = jax.tree.map(lambda a: a[0], local_ops)
+        ext1 = lean_exchange(traces, lean_row)
+        *s1, tr1 = sw2d_stage_blocked(
+            o, meta, packed, packed, ext1, 0.5 * dt, t0=0.0,
+            use_filter=use_filter, emit_traces=True, interpret=interpret)
+        ext2 = lean_exchange(tr1, lean_row)
+        *s2, tr2 = sw2d_stage_blocked(
+            o, meta, packed, tuple(s1), ext2, dt, t0=0.0,
+            use_filter=use_filter, emit_traces=True, interpret=interpret)
+        return (tuple(s2), tr2)
+
+    return step

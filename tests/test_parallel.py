@@ -616,3 +616,144 @@ def test_halo_curved_rhs_matches_single():
     for got, want, name in zip(out, ref, ("h", "hu", "hv", "hN")):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-11, err_msg=name)
+
+
+class TestShardedBlocked:
+    """Blocked Pallas kernel INSIDE shard_map (parallel/blocked_shard.py):
+    per-shard fused stage kernels + ppermute halo between RK stages must
+    reproduce the single-device XLA path exactly (f64 interpret mode)."""
+
+    def test_sharded_blocked_matches_single_device(self):
+        from blitzdg_tpu.ops.sw2d import SWPhysics, SWState, sw2d_rhs, apply_filter
+        from blitzdg_tpu.parallel.blocked_shard import (
+            build_sharded_blocked, make_sharded_blocked_step, pack_local,
+            unpack_local)
+        from blitzdg_tpu.timestepping import ssprk2_step
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        NDEV = 8
+        mesh0 = box_triangles(8, 8)  # K = 128, 16 per shard
+        mesh2d, _, _ = partition_mesh(mesh0, NDEV)
+        ctx = build_triangle_context(1, mesh2d, filter_cutoff=0.9,
+                                     filter_order=1)
+        phys = SWPhysics(g=9.81)
+        sb = build_sharded_blocked(ctx, phys, NDEV, dtype=jnp.float64,
+                                   fold_filter=True)
+        meta = sb.meta
+        fm = np.asarray(ctx.fmask).reshape(-1)
+        DT, NSTEP = 5e-4, 5
+
+        # ---- single-device reference ----
+        eta = jnp.exp(-8.0 * (ctx.x**2 + ctx.y**2))
+        state = SWState(h=10.0 + eta, hu=0.1 * eta, hv=jnp.zeros_like(eta))
+        ref = state
+        post = lambda f: apply_filter(ctx, f)
+        for i in range(NSTEP):
+            ref = ssprk2_step(lambda s, t: sw2d_rhs(ctx, s, t, phys),
+                              ref, i * DT, DT, post_stage=post)
+
+        # ---- sharded blocked rollout ----
+        step = make_sharded_blocked_step(sb, fm, DT, interpret=True)
+        devices = np.array(jax.devices()[:NDEV])
+        el_mesh = Mesh(devices, ("element",))
+
+        k_loc = sb.k_loc
+        # per-shard packed initial state riding the B axis: (NDEV, p, NP, M)
+        # — inside shard_map each shard sees exactly the (1, p, NP, M)
+        # packed form the kernel wants
+        def packed_field(f):
+            return jnp.concatenate([
+                pack_local(meta, f[s * k_loc:(s + 1) * k_loc])
+                for s in range(NDEV)], axis=0)
+
+        packed = tuple(packed_field(f) for f in state)
+        op_specs = jax.tree.map(
+            lambda a: P("element", *([None] * (a.ndim - 1))), sb.ops)
+        tb_specs = tuple(P("element", *([None] * (a.ndim - 1)))
+                         for a in sb.tables)
+        st_spec = P("element", None, None, None)
+
+        def roll(ops_l, tb_l, *pk):
+            def body(carry, _):
+                return step(ops_l, tb_l, carry, 0.0), None
+
+            out, _ = jax.lax.scan(body, tuple(pk), None, length=NSTEP)
+            return out
+
+        fn = jax.jit(jax.shard_map(
+            roll, mesh=el_mesh,
+            in_specs=(op_specs, tb_specs) + (st_spec,) * 3,
+            out_specs=(st_spec,) * 3,
+            check_vma=False))  # pallas_call out_shapes carry no vma info
+        out = fn(sb.ops, sb.tables, *packed)
+
+        for got_packed, want in zip(out, ref):
+            got = jnp.concatenate([
+                unpack_local(meta, got_packed[s:s + 1])
+                for s in range(NDEV)], axis=0)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-12)
+
+    def test_fused_sharded_blocked_matches_single_device(self):
+        """The FAST path (kernel-emitted traces + static-index lean
+        exchange) must match the single-device XLA rollout too."""
+        from blitzdg_tpu.ops.sw2d import SWPhysics, SWState, sw2d_rhs, apply_filter
+        from blitzdg_tpu.parallel.blocked_shard import (
+            build_sharded_blocked, initial_packed_traces,
+            make_sharded_blocked_step_fused, pack_local, unpack_local)
+        from blitzdg_tpu.timestepping import ssprk2_step
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        NDEV = 8
+        mesh0 = box_triangles(8, 8)
+        mesh2d, _, _ = partition_mesh(mesh0, NDEV)
+        ctx = build_triangle_context(1, mesh2d, filter_cutoff=0.9,
+                                     filter_order=1)
+        phys = SWPhysics(g=9.81)
+        sb = build_sharded_blocked(ctx, phys, NDEV, dtype=jnp.float64)
+        meta = sb.meta
+        DT, NSTEP = 5e-4, 5
+
+        eta = jnp.exp(-8.0 * (ctx.x**2 + ctx.y**2))
+        state = SWState(h=10.0 + eta, hu=0.1 * eta, hv=jnp.zeros_like(eta))
+        ref = state
+        post = lambda f: apply_filter(ctx, f)
+        for i in range(NSTEP):
+            ref = ssprk2_step(lambda s, t: sw2d_rhs(ctx, s, t, phys),
+                              ref, i * DT, DT, post_stage=post)
+
+        step = make_sharded_blocked_step_fused(sb, DT, interpret=True)
+        el_mesh = Mesh(np.array(jax.devices()[:NDEV]), ("element",))
+        k_loc = sb.k_loc
+        packed = tuple(jnp.concatenate([
+            pack_local(meta, f[s * k_loc:(s + 1) * k_loc])
+            for s in range(NDEV)], axis=0) for f in state)
+        op_specs = jax.tree.map(
+            lambda a: P("element", *([None] * (a.ndim - 1))), sb.ops)
+        ln_specs = tuple(P("element", *([None] * (a.ndim - 1)))
+                         for a in sb.lean)
+        st_spec = P("element", None, None, None)
+
+        def roll(ops_l, ln_l, *pk):
+            tr0 = initial_packed_traces(sb, ops_l, tuple(pk))
+
+            def body(carry, _):
+                return step(ops_l, ln_l, carry, 0.0), None
+
+            (out, _), _ = jax.lax.scan(body, (tuple(pk), tr0), None,
+                                       length=NSTEP)
+            return out
+
+        fn = jax.jit(jax.shard_map(
+            roll, mesh=el_mesh,
+            in_specs=(op_specs, ln_specs) + (st_spec,) * 3,
+            out_specs=(st_spec,) * 3,
+            check_vma=False))
+        out = fn(sb.ops, sb.lean, *packed)
+
+        for got_packed, want in zip(out, ref):
+            got = jnp.concatenate([
+                unpack_local(meta, got_packed[s:s + 1])
+                for s in range(NDEV)], axis=0)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-12)
