@@ -835,7 +835,8 @@ def _step_values(h, hu, hv, t, ctrl, o, meta, dt, use_filter):
 _OP_FIELDS = len(BlockedOps._fields)
 
 
-def _stage_kernel(meta, c_dt, t0, use_filter, emit_traces, *refs):
+def _stage_kernel(meta, c_dt, t0, use_filter, emit_traces, apply_sponge,
+                  *refs):
     """One RK STAGE with external '+'-trace override:
     out = base + c_dt * R(cur, ext). Used by the element-sharded driver
     (parallel/blocked_shard.py) where the halo exchange must happen
@@ -856,6 +857,12 @@ def _stage_kernel(meta, c_dt, t0, use_filter, emit_traces, *refs):
     h2 = bh[0] + c_dt * r1
     hu2 = bhu[0] + c_dt * r2
     hv2 = bhv[0] + c_dt * r3
+    if apply_sponge and meta.has_sponge:
+        # step-final sponge relaxation toward rest (ops.sw2d.sponge_relax)
+        fac = 1.0 / (1.0 + c_dt * o.SPNG)
+        h2 = o.H + (h2 - o.H) * fac
+        hu2 = hu2 * fac
+        hv2 = hv2 * fac
     oh[0] = h2
     ohu[0] = hu2
     ohv[0] = hv2
@@ -868,7 +875,7 @@ def _stage_kernel(meta, c_dt, t0, use_filter, emit_traces, *refs):
 
 @functools.partial(
     jax.jit, static_argnames=("meta", "c_dt", "t0", "use_filter",
-                              "emit_traces", "interpret")
+                              "emit_traces", "apply_sponge", "interpret")
 )
 def sw2d_stage_blocked(
     ops: BlockedOps,
@@ -880,10 +887,13 @@ def sw2d_stage_blocked(
     t0: float = 0.0,
     use_filter: bool = True,
     emit_traces: bool = False,
+    apply_sponge: bool = False,
     interpret: bool = False,
 ):
     """out = base + c_dt * R(cur) with cut-face traces from `ext`;
-    optionally also returns the packed (B, p, NT, 3M) '-' traces of out."""
+    optionally also returns the packed (B, p, NT, 3M) '-' traces of out.
+    ``apply_sponge``: apply the step-final sponge relaxation to out (set
+    on the LAST stage of a step when meta.has_sponge)."""
     B, p, NP, M = base[0].shape
     NT = meta.NT
     vspec = pl.BlockSpec((1, p, NP, M), lambda i: (i, 0, 0, 0),
@@ -896,7 +906,7 @@ def sw2d_stage_blocked(
         for op in ops
     ]
     kernel = functools.partial(_stage_kernel, meta, float(c_dt), float(t0),
-                               use_filter, emit_traces)
+                               use_filter, emit_traces, apply_sponge)
     shp = jax.ShapeDtypeStruct((B, p, NP, M), base[0].dtype)
     out_specs = [vspec, vspec, vspec]
     out_shape = [shp, shp, shp]

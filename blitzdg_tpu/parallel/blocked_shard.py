@@ -67,14 +67,18 @@ def build_sharded_blocked(
     n_shards: int,
     dtype=jnp.float32,
     precision: str = "highest",
-    fold_filter: bool = True,
+    fold_filter: bool | str = "auto",
+    tidal: tuple | None = None,
 ) -> ShardedBlocked:
     """Freeze per-shard blocked operator sets + the halo plan.
 
     ctx must be built on a partitioned mesh (contiguous shard blocks,
-    K % n_shards == 0 — partition.partition_mesh / pad_context)."""
-    assert phys.H is None and phys.cd == 0.0 and phys.f_cor == 0.0, (
-        "blocked_shard v1 covers the flat-bottom wall-BC workload")
+    K % n_shards == 0 — partition.partition_mesh / pad_context).
+
+    FULL coastal physics supported: the kernel's coastal terms consume
+    only static per-shard data (bed slopes, precomputed GLOBAL bathymetry
+    traces — correct across cuts — sponge, BC masks), so nothing coastal
+    crosses shards at runtime; only the state's cut-face traces do."""
     K, n_p = ctx.k_elem, ctx.n_p
     n_fp, n_faces = ctx.n_fp, ctx.n_faces
     n_tr = n_faces * n_fp
@@ -197,6 +201,38 @@ def build_sharded_blocked(
     zeros_v = np.zeros((p, NP, M))
     ones_t = np.ones((p, NT, M))
 
+    # ---- coastal physics data (all static, shard-local at runtime) ----
+    has_bathy = phys.H is not None
+    wb = has_bathy and phys.well_balanced
+    has_sponge = phys.sponge is not None
+    obc_g = np.zeros((K, n_tr))
+    if tidal is not None:
+        from ..context import BC_OUT
+
+        o_idx = np.asarray(ctx.bc_maps.idx[BC_OUT])
+        o_msk = np.asarray(ctx.bc_maps.mask[BC_OUT])
+        obc_g.reshape(-1)[o_idx[o_msk]] = 1.0
+    if has_bathy:
+        H_g, Hx_g = np.asarray(phys.H), np.asarray(phys.Hx)
+        Hy_g = np.asarray(phys.Hy)
+        # GLOBAL traces: the '+' trace of H at cut faces is the remote
+        # element's value — baked here, so no runtime exchange needed
+        HMf, HPf = ctx.surface_trace(phys.H)
+        HM_g = np.asarray(HMf).reshape(K, n_tr)
+        HP_g = np.asarray(HPf).reshape(K, n_tr)
+    SP_g = np.asarray(phys.sponge) if has_sponge else None
+
+    # filter folding legal only for affine source-free physics
+    affine = all(
+        float(np.ptp(np.asarray(m)[:, :n_p], axis=1).max(initial=0.0)) < 1e-10
+        for m in (ctx.rx, ctx.sx, ctx.ry, ctx.sy))
+    can_fold = (affine and not has_bathy and phys.cd == 0.0
+                and phys.f_cor == 0.0)
+    fold = can_fold if fold_filter == "auto" else bool(fold_filter)
+    assert not (fold and not can_fold), "cannot fold filter with sources"
+    if not fold:
+        FDR = FDS = FLIFT = np.zeros((1, 1))
+
     to = lambda a: jnp.asarray(a, dtype=dtype)
     rep = lambda a: jnp.broadcast_to(to(a), (n_shards,) + np.shape(a))
     ops = BlockedOps(
@@ -213,9 +249,19 @@ def build_sharded_blocked(
         vmask=rep(vm0), tmask=rep(tm0),
         cmask=to(stack(cmask_for)),
         PH=rep(np.zeros((1, 1, 1))), fsel=rep(np.zeros((1, 1))),
-        obc=rep(np.zeros((p, NT, M))),
-        H=rep(ones_v), Hx=rep(zeros_v), Hy=rep(zeros_v),
-        SPNG=rep(zeros_v), HMt=rep(ones_t), HPt=rep(ones_t),
+        obc=to(stack(lambda s: padT3(obc_g, NT, s * k_loc))),
+        H=(to(stack(lambda s: padT3(H_g, NP, s * k_loc, fill=1.0)))
+           if has_bathy else rep(ones_v)),
+        Hx=(to(stack(lambda s: padT3(Hx_g, NP, s * k_loc)))
+            if has_bathy else rep(zeros_v)),
+        Hy=(to(stack(lambda s: padT3(Hy_g, NP, s * k_loc)))
+            if has_bathy else rep(zeros_v)),
+        SPNG=(to(stack(lambda s: padT3(SP_g, NP, s * k_loc)))
+              if has_sponge else rep(zeros_v)),
+        HMt=(to(stack(lambda s: padT3(HM_g, NT, s * k_loc, fill=1.0)))
+             if has_bathy else rep(ones_t)),
+        HPt=(to(stack(lambda s: padT3(HP_g, NT, s * k_loc, fill=1.0)))
+             if has_bathy else rep(ones_t)),
         BU=rep(np.zeros((1, p, NP, M))), BV=rep(np.zeros((1, p, NP, M))),
         FBU=rep(np.zeros((1, 1, 1, 1))), FBV=rep(np.zeros((1, 1, 1, 1))),
         EXTM=to(stack(extm_for)),
@@ -223,8 +269,11 @@ def build_sharded_blocked(
     meta = BlockedMeta(
         n_p=n_p, n_fp=n_fp, n_faces=n_faces, k_elem=k_loc,
         NP=NP, NT=NT, Kp=Kp, p=p, M=M, n_ctrl=0, g=float(phys.g),
-        cd=0.0, f_cor=0.0, wb=False, has_bathy=False, has_sponge=False,
-        fold=bool(fold_filter), tidal=None, combos=combos,
+        cd=float(phys.cd), f_cor=float(phys.f_cor), wb=wb,
+        has_bathy=has_bathy, has_sponge=has_sponge,
+        fold=fold,
+        tidal=tuple(float(v) for v in tidal) if tidal is not None else None,
+        combos=combos,
         trace_mode="rolls", precision=precision,
     )
     plan = build_halo_plan(ctx, n_shards)
@@ -323,7 +372,7 @@ def make_sharded_blocked_step(sb: ShardedBlocked, ctx_fmask, dt: float,
         ext2 = exchange(local_ops, plan_row, s1)
         s2 = sw2d_stage_blocked(o, meta, packed, s1, ext2, dt,
                                 t0=0.0, use_filter=use_filter,
-                                interpret=interpret)
+                                apply_sponge=True, interpret=interpret)
         return s2
 
     return step
@@ -360,6 +409,9 @@ def make_sharded_blocked_step_fused(sb: ShardedBlocked, dt: float,
     from . import halo as halo_mod
 
     meta, plan = sb.meta, sb.plan
+    assert meta.tidal is None, (
+        "tidal forcing needs a dynamic stage time; sw2d_stage_blocked "
+        "currently takes static t0 (thread an SMEM scalar to enable)")
     p, NT, M = meta.p, meta.NT, meta.M
     n = plan.n_shards
 
@@ -392,7 +444,8 @@ def make_sharded_blocked_step_fused(sb: ShardedBlocked, dt: float,
         ext2 = lean_exchange(tr1, lean_row)
         *s2, tr2 = sw2d_stage_blocked(
             o, meta, packed, tuple(s1), ext2, dt, t0=0.0,
-            use_filter=use_filter, emit_traces=True, interpret=interpret)
+            use_filter=use_filter, emit_traces=True, apply_sponge=True,
+            interpret=interpret)
         return (tuple(s2), tr2)
 
     return step

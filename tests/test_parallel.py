@@ -757,3 +757,79 @@ class TestShardedBlocked:
                 for s in range(NDEV)], axis=0)
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        atol=1e-12)
+
+    def test_fused_sharded_blocked_coastal_matches_single(self):
+        """Coastal physics (bathymetry + well-balancing + drag + Coriolis
+        + sponge) through the sharded blocked kernel: the coastal terms
+        consume only static per-shard data (the bathymetry '+' traces are
+        precomputed GLOBALLY, so cut faces see the remote element's bed),
+        and the rollout must still match the single-device XLA path."""
+        from blitzdg_tpu.ops.sw2d import (SWPhysics, SWState, sw2d_rhs,
+                                          apply_filter, sponge_relax)
+        from blitzdg_tpu.parallel.blocked_shard import (
+            build_sharded_blocked, initial_packed_traces,
+            make_sharded_blocked_step_fused, pack_local, unpack_local)
+        from blitzdg_tpu.timestepping import ssprk2_step
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        NDEV = 8
+        mesh0 = box_triangles(8, 8)
+        mesh2d, _, _ = partition_mesh(mesh0, NDEV)
+        ctx = build_triangle_context(1, mesh2d, filter_cutoff=0.9,
+                                     filter_order=1)
+        rng = np.random.default_rng(5)
+        H = 10.0 + 2.0 * ctx.x + jnp.asarray(
+            rng.uniform(0.0, 1.0, size=(ctx.k_elem, 1)))
+        Hx, Hy = ctx.grad(H)
+        sponge = jnp.asarray(
+            rng.uniform(0.0, 0.2, size=(ctx.k_elem, ctx.n_p)))
+        phys = SWPhysics(g=9.81, cd=2.5e-3, f_cor=1e-4, H=H, Hx=Hx, Hy=Hy,
+                         sponge=sponge)
+        sb = build_sharded_blocked(ctx, phys, NDEV, dtype=jnp.float64)
+        assert sb.meta.wb and sb.meta.has_bathy and sb.meta.has_sponge
+        meta = sb.meta
+        DT, NSTEP = 5e-4, 4
+
+        eta = 0.2 * jnp.exp(-8.0 * (ctx.x**2 + ctx.y**2))
+        state = SWState(h=H + eta, hu=0.05 * eta, hv=jnp.zeros_like(eta))
+        ref = state
+        post = lambda f: apply_filter(ctx, f)
+        for i in range(NSTEP):
+            ref = ssprk2_step(lambda s, t: sw2d_rhs(ctx, s, t, phys),
+                              ref, i * DT, DT, post_stage=post)
+            ref = sponge_relax(ref, phys, DT)
+
+        step = make_sharded_blocked_step_fused(sb, DT, interpret=True)
+        el_mesh = Mesh(np.array(jax.devices()[:NDEV]), ("element",))
+        k_loc = sb.k_loc
+        packed = tuple(jnp.concatenate([
+            pack_local(meta, f[s * k_loc:(s + 1) * k_loc])
+            for s in range(NDEV)], axis=0) for f in state)
+        op_specs = jax.tree.map(
+            lambda a: P("element", *([None] * (a.ndim - 1))), sb.ops)
+        ln_specs = tuple(P("element", *([None] * (a.ndim - 1)))
+                         for a in sb.lean)
+        st_spec = P("element", None, None, None)
+
+        def roll(ops_l, ln_l, *pk):
+            tr0 = initial_packed_traces(sb, ops_l, tuple(pk))
+
+            def body(carry, _):
+                return step(ops_l, ln_l, carry, 0.0), None
+
+            (out, _), _ = jax.lax.scan(body, (tuple(pk), tr0), None,
+                                       length=NSTEP)
+            return out
+
+        fn = jax.jit(jax.shard_map(
+            roll, mesh=el_mesh,
+            in_specs=(op_specs, ln_specs) + (st_spec,) * 3,
+            out_specs=(st_spec,) * 3,
+            check_vma=False))
+        out = fn(sb.ops, sb.lean, *packed)
+        for got_packed, want in zip(out, ref):
+            got = jnp.concatenate([
+                unpack_local(meta, got_packed[s:s + 1])
+                for s in range(NDEV)], axis=0)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-12)
