@@ -24,7 +24,7 @@ import numpy as np
 from scipy.optimize import least_squares
 
 from blitzdg_tpu.specgrid.cubature import duffy_cubature
-from blitzdg_tpu.specgrid.triangle import vandermonde_2d
+from blitzdg_tpu.specgrid.triangle import grad_vandermonde_2d, vandermonde_2d
 
 TOL_RES = 1e-12
 W_MIN = 1e-9
@@ -46,6 +46,18 @@ def residual(x, order, m):
     return V.T @ w - m
 
 
+def jacobian(x, order, m):
+    """Analytic d(residual)/d(r, s, w): columns [w_i dphi_k/dr(x_i),
+    w_i dphi_k/ds(x_i), phi_k(x_i)] — avoids ~3n finite-difference
+    evaluations per LM iteration (100x on the large orders)."""
+    n = x.size // 3
+    r, s, w = x[:n], x[n:2 * n], x[2 * n:]
+    V = vandermonde_2d(order, r, s)      # (n, Nb)
+    Vr, Vs = grad_vandermonde_2d(order, r, s)
+    return np.concatenate([(w[:, None] * Vr).T, (w[:, None] * Vs).T, V.T],
+                          axis=1)  # (Nb, 3n)
+
+
 def inside(r, s, tol=BARY_TOL):
     l1 = (s + 1.0) / 2.0
     l2 = -(r + s) / 2.0
@@ -56,7 +68,8 @@ def inside(r, s, tol=BARY_TOL):
 def try_solve(r, s, w, order, m):
     x0 = np.concatenate([r, s, w])
     method = "lm" if m.size >= x0.size else "trf"
-    sol = least_squares(residual, x0, args=(order, m), method=method,
+    sol = least_squares(residual, x0, jac=jacobian, args=(order, m),
+                        method=method,
                         xtol=1e-15, ftol=1e-15, gtol=1e-15, max_nfev=400)
     n = r.size
     r2, s2, w2 = sol.x[:n], sol.x[n:2 * n], sol.x[2 * n:]
