@@ -836,7 +836,7 @@ _OP_FIELDS = len(BlockedOps._fields)
 
 
 def _stage_kernel(meta, c_dt, t0, use_filter, emit_traces, apply_sponge,
-                  *refs):
+                  has_t, *refs):
     """One RK STAGE with external '+'-trace override:
     out = base + c_dt * R(cur, ext). Used by the element-sharded driver
     (parallel/blocked_shard.py) where the halo exchange must happen
@@ -846,13 +846,16 @@ def _stage_kernel(meta, c_dt, t0, use_filter, emit_traces, apply_sponge,
     (one extra EM matmul) so the NEXT stage's halo exchange reads them
     directly — no XLA-level unpack/gather between kernels."""
     (bh, bhu, bhv, ch, chu, chv, eh, ehu, ehv, *rest) = refs
+    if has_t:
+        t_ref, *rest = rest
     if emit_traces:
         *ops_list, oh, ohu, ohv, otr = rest
     else:
         *ops_list, oh, ohu, ohv = rest
     o = BlockedOps(*(r[:] for r in ops_list))
     ext = (eh[0], ehu[0], ehv[0])
-    r1, r2, r3 = _eval_rhs(ch[0], chu[0], chv[0], t0, None, o, meta,
+    tt = t_ref[0, 0] if has_t else t0
+    r1, r2, r3 = _eval_rhs(ch[0], chu[0], chv[0], tt, None, o, meta,
                            use_filter, ext=ext)
     h2 = bh[0] + c_dt * r1
     hu2 = bhu[0] + c_dt * r2
@@ -889,11 +892,13 @@ def sw2d_stage_blocked(
     emit_traces: bool = False,
     apply_sponge: bool = False,
     interpret: bool = False,
+    t=None,  # optional (1, 1) runtime stage time (tidal forcing); else t0
 ):
     """out = base + c_dt * R(cur) with cut-face traces from `ext`;
     optionally also returns the packed (B, p, NT, 3M) '-' traces of out.
     ``apply_sponge``: apply the step-final sponge relaxation to out (set
-    on the LAST stage of a step when meta.has_sponge)."""
+    on the LAST stage of a step when meta.has_sponge). ``t``: optional
+    DYNAMIC stage time delivered via SMEM (time-dependent tidal BC)."""
     B, p, NP, M = base[0].shape
     NT = meta.NT
     vspec = pl.BlockSpec((1, p, NP, M), lambda i: (i, 0, 0, 0),
@@ -905,8 +910,9 @@ def sw2d_stage_blocked(
                      memory_space=pltpu.VMEM)
         for op in ops
     ]
+    has_t = t is not None
     kernel = functools.partial(_stage_kernel, meta, float(c_dt), float(t0),
-                               use_filter, emit_traces, apply_sponge)
+                               use_filter, emit_traces, apply_sponge, has_t)
     shp = jax.ShapeDtypeStruct((B, p, NP, M), base[0].dtype)
     out_specs = [vspec, vspec, vspec]
     out_shape = [shp, shp, shp]
@@ -916,16 +922,22 @@ def sw2d_stage_blocked(
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((B, p, NT, 3 * M),
                                               base[0].dtype))
+    t_in = []
+    t_specs = []
+    if has_t:
+        t_in = [jnp.asarray(t, dtype=base[0].dtype).reshape(1, 1)]
+        t_specs = [pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)]
     return pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[vspec] * 6 + [tspec] * 3 + op_specs,
+        in_specs=[vspec] * 6 + [tspec] * 3 + t_specs + op_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
-    )(*base, *cur, *ext, *ops)
+    )(*base, *cur, *ext, *t_in, *ops)
 
 
 def _step_kernel(meta, dt, t0, use_filter, has_ctrl,

@@ -409,9 +409,6 @@ def make_sharded_blocked_step_fused(sb: ShardedBlocked, dt: float,
     from . import halo as halo_mod
 
     meta, plan = sb.meta, sb.plan
-    assert meta.tidal is None, (
-        "tidal forcing needs a dynamic stage time; sw2d_stage_blocked "
-        "currently takes static t0 (thread an SMEM scalar to enable)")
     p, NT, M = meta.p, meta.NT, meta.M
     n = plan.n_shards
 
@@ -437,15 +434,19 @@ def make_sharded_blocked_step_fused(sb: ShardedBlocked, dt: float,
     def step(local_ops: BlockedOps, lean_row, carry, t):
         packed, traces = carry
         o = jax.tree.map(lambda a: a[0], local_ops)
+        # dynamic stage time (SMEM) only when the physics needs it (tidal)
+        t1 = t if meta.tidal is not None else None
+        t2 = (t + 0.5 * dt) if meta.tidal is not None else None
         ext1 = lean_exchange(traces, lean_row)
         *s1, tr1 = sw2d_stage_blocked(
             o, meta, packed, packed, ext1, 0.5 * dt, t0=0.0,
-            use_filter=use_filter, emit_traces=True, interpret=interpret)
+            use_filter=use_filter, emit_traces=True, interpret=interpret,
+            t=t1)
         ext2 = lean_exchange(tr1, lean_row)
         *s2, tr2 = sw2d_stage_blocked(
             o, meta, packed, tuple(s1), ext2, dt, t0=0.0,
             use_filter=use_filter, emit_traces=True, apply_sponge=True,
-            interpret=interpret)
+            interpret=interpret, t=t2)
         return (tuple(s2), tr2)
 
     return step

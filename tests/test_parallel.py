@@ -833,3 +833,89 @@ class TestShardedBlocked:
                 for s in range(NDEV)], axis=0)
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        atol=1e-12)
+
+    def test_fused_sharded_blocked_tidal_matches_single(self):
+        """Tidal BC_OUT forcing through the sharded blocked kernel: the
+        stage time is delivered DYNAMICALLY via an SMEM scalar (the
+        in-kernel cos(omega t) ramp needs it), and the rollout must match
+        the single-device XLA path with the same forcing."""
+        from blitzdg_tpu.context import BC_OUT
+        from blitzdg_tpu.ops.sw2d import (SWPhysics, SWState, sw2d_rhs,
+                                          apply_filter)
+        from blitzdg_tpu.parallel.blocked_shard import (
+            build_sharded_blocked, initial_packed_traces,
+            make_sharded_blocked_step_fused, pack_local, unpack_local)
+        from blitzdg_tpu.timestepping import ssprk2_step
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        NDEV = 8
+        mesh0 = box_triangles(8, 8, xlim=(0.0, 1.0), ylim=(0.0, 1.0))
+        bc = np.asarray(mesh0.bc_type).copy()
+        for k in range(mesh0.num_elements):
+            for f in range(3):
+                a, b = mesh0.etov[k, f], mesh0.etov[k, (f + 1) % 3]
+                mx = 0.5 * (mesh0.verts[a, 0] + mesh0.verts[b, 0])
+                if bc[k, f] > 0 and abs(mx - 1.0) < 1e-12:
+                    bc[k, f] = BC_OUT
+        mesh0.set_bc_type(bc)
+        mesh2d, _, _ = partition_mesh(mesh0, NDEV)
+        ctx = build_triangle_context(1, mesh2d, filter_cutoff=0.9,
+                                     filter_order=1)
+        phys = SWPhysics(g=9.81)
+        TIDE = (10.4, 0.3, 2.0, 0.01)
+        sb = build_sharded_blocked(ctx, phys, NDEV, dtype=jnp.float64,
+                                   tidal=TIDE)
+        assert sb.meta.tidal is not None
+        meta = sb.meta
+        DT, NSTEP, T0 = 5e-4, 4, 0.02
+
+        def forcing(t):
+            h0, amp, om, tau = TIDE
+            return h0 + amp * jnp.cos(om * t) * jnp.minimum(t / tau, 1.0)
+
+        eta = 0.2 * jnp.exp(-8.0 * ((ctx.x - 0.5) ** 2 + (ctx.y - 0.5) ** 2))
+        state = SWState(h=10.0 + eta, hu=0.05 * eta, hv=jnp.zeros_like(eta))
+        ref, t = state, T0
+        post = lambda f: apply_filter(ctx, f)
+        for _ in range(NSTEP):
+            ref = ssprk2_step(
+                lambda s, tt: sw2d_rhs(ctx, s, tt, phys,
+                                       tidal_forcing=forcing),
+                ref, t, DT, post_stage=post)
+            t += DT
+
+        step = make_sharded_blocked_step_fused(sb, DT, interpret=True)
+        el_mesh = Mesh(np.array(jax.devices()[:NDEV]), ("element",))
+        k_loc = sb.k_loc
+        packed = tuple(jnp.concatenate([
+            pack_local(meta, f[s * k_loc:(s + 1) * k_loc])
+            for s in range(NDEV)], axis=0) for f in state)
+        op_specs = jax.tree.map(
+            lambda a: P("element", *([None] * (a.ndim - 1))), sb.ops)
+        ln_specs = tuple(P("element", *([None] * (a.ndim - 1)))
+                         for a in sb.lean)
+        st_spec = P("element", None, None, None)
+
+        def roll(ops_l, ln_l, *pk):
+            tr0 = initial_packed_traces(sb, ops_l, tuple(pk))
+
+            def body(carry, _):
+                st, tt = carry
+                return (step(ops_l, ln_l, st, tt), tt + DT), None
+
+            ((out, _), _), _ = jax.lax.scan(
+                body, ((tuple(pk), tr0), T0), None, length=NSTEP)
+            return out
+
+        fn = jax.jit(jax.shard_map(
+            roll, mesh=el_mesh,
+            in_specs=(op_specs, ln_specs) + (st_spec,) * 3,
+            out_specs=(st_spec,) * 3,
+            check_vma=False))
+        out = fn(sb.ops, sb.lean, *packed)
+        for got_packed, want in zip(out, ref):
+            got = jnp.concatenate([
+                unpack_local(meta, got_packed[s:s + 1])
+                for s in range(NDEV)], axis=0)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-12)
