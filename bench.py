@@ -660,6 +660,68 @@ def main():
         assert diff5 < 5e-3, diff5
         extra["poisson2d_batched_vs_splu_maxdiff"] = round(diff5, 6)
 
+    # ===== element-sharded blocked-kernel step (multi-chip path) =======
+    # per-shard fused Pallas stage kernels + lean static-index halo
+    # exchange (parallel/blocked_shard.py); on one chip this measures the
+    # sharded formulation's fixed per-step overhead vs the in-kernel
+    # rollout (round-3 XLA halo path was 575 us/step at this shape)
+    from jax.sharding import Mesh as _Mesh, PartitionSpec as _P
+
+    from blitzdg_tpu.parallel.blocked_shard import (
+        build_sharded_blocked,
+        initial_packed_traces,
+        make_sharded_blocked_step_fused,
+        pack_local,
+    )
+
+    def _setup_sb():
+        sb = build_sharded_blocked(ctx2, phys_flat, 1, dtype=jnp.float32,
+                                   precision="high")
+        h_sb = 10.0 + jnp.exp(-10.0 * (ctx2.x**2 + ctx2.y**2))
+        st = (h_sb, jnp.zeros_like(h_sb), jnp.zeros_like(h_sb))
+        pk = tuple(pack_local(sb.meta, jnp.asarray(f, jnp.float32))
+                   for f in st)
+        return sb, pk
+
+    _phase('setup+compile+run: sharded blocked step (ndev=1)')
+    sb, packed_sb = staged(_setup_sb)
+    if stage is not None:
+        sb = sb._replace(ops=jax.device_put(sb.ops, accel),
+                         lean=tuple(jax.device_put(a, accel)
+                                    for a in sb.lean))
+        packed_sb = tuple(jax.device_put(a, accel) for a in packed_sb)
+    sbstep = make_sharded_blocked_step_fused(sb, DT2)
+    sb_mesh = _Mesh(_np.array(jax.devices()[:1]), ("element",))
+    sb_ospec = jax.tree.map(
+        lambda a: _P("element", *([None] * (a.ndim - 1))), sb.ops)
+    sb_lspec = tuple(_P("element", *([None] * (a.ndim - 1)))
+                     for a in sb.lean)
+    sb_sspec = _P("element", None, None, None)
+
+    def sb_roll(ops_l, ln_l, *pk):
+        tr0 = initial_packed_traces(sb, ops_l, tuple(pk))
+
+        def body(carry, _):
+            return sbstep(ops_l, ln_l, carry, 0.0), None
+
+        (out, _), _ = jax.lax.scan(body, (tuple(pk), tr0), None,
+                                   length=N_MEAS)
+        return out
+
+    sb_fn = jax.jit(jax.shard_map(
+        sb_roll, mesh=sb_mesh,
+        in_specs=(sb_ospec, sb_lspec) + (sb_sspec,) * 3,
+        out_specs=(sb_sspec,) * 3, check_vma=False))
+    out_sb = jax.block_until_ready(sb_fn(sb.ops, sb.lean, *packed_sb))
+    assert bool(jnp.isfinite(out_sb[0]).all()), "sharded-blocked non-finite"
+    best_sb = 1e30
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out_sb = jax.block_until_ready(sb_fn(sb.ops, sb.lean, *packed_sb))
+        best_sb = min(best_sb, time.perf_counter() - t0)
+    extra["sharded_blocked_step_us_K2048_N3"] = round(
+        1e6 * best_sb / N_MEAS, 2)
+
     # ===== curved-dynamics batched MPC (BASELINE stretch config) =======
     from blitzdg_tpu.mesh import disk_triangles
     from blitzdg_tpu.mesh.curved import (
