@@ -64,7 +64,8 @@ import numpy as np
 HORIZON = 8  # control steps
 STEPS_PER_CONTROL = 4  # SSP-RK2 steps per control step
 ITERS = 20  # Adam iterations per MPC solve
-BATCH = 512  # scenarios per chip
+BATCH = 2048  # scenarios per chip (measured: 1.4x the 512-scenario
+#               throughput at tile_b=256 — batch amortizes fixed cost)
 
 V5E_BF16_PEAK = 197e12  # TFLOP/s, one v5e chip (MXU bf16)
 
@@ -309,7 +310,7 @@ def main():
                       q_eta=0.0, q_terminal=1.0, r_control=1e-10)
     pm = PallasMPC(
         rollout=make_rollout(ops1, meta1, DT, STEPS_PER_CONTROL,
-                             use_filter=prob.use_filter, tile_b=128),
+                             use_filter=prob.use_filter, tile_b=256),
         meta=meta1, wj=wj1, vmask=vmask1)
 
     solve = jax.jit(

@@ -860,6 +860,11 @@ def _stage_kernel(meta, c_dt, t0, use_filter, emit_traces, apply_sponge,
     h2 = bh[0] + c_dt * r1
     hu2 = bhu[0] + c_dt * r2
     hv2 = bhv[0] + c_dt * r3
+    if meta.wetdry:
+        # per-stage positivity limiting (ops.sw2d_wetdry pattern); the
+        # emitted traces below are post-limit, keeping the next exchange
+        # consistent with the state the next stage actually sees
+        h2, hu2, hv2 = _limit_packed(h2, hu2, hv2, o, meta)
     if apply_sponge and meta.has_sponge:
         # step-final sponge relaxation toward rest (ops.sw2d.sponge_relax)
         fac = 1.0 / (1.0 + c_dt * o.SPNG)

@@ -69,6 +69,8 @@ def build_sharded_blocked(
     precision: str = "highest",
     fold_filter: bool | str = "auto",
     tidal: tuple | None = None,
+    wetdry: bool = False,
+    h_floor: float = 1e-3,
 ) -> ShardedBlocked:
     """Freeze per-shard blocked operator sets + the halo plan.
 
@@ -275,6 +277,7 @@ def build_sharded_blocked(
         tidal=tuple(float(v) for v in tidal) if tidal is not None else None,
         combos=combos,
         trace_mode="rolls", precision=precision,
+        wetdry=wetdry, h_floor=h_floor,
     )
     plan = build_halo_plan(ctx, n_shards)
 

@@ -919,3 +919,74 @@ class TestShardedBlocked:
                 for s in range(NDEV)], axis=0)
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        atol=1e-12)
+
+    def test_fused_sharded_blocked_wetdry_matches_single(self):
+        """Wetting/drying through the sharded blocked kernel: per-stage
+        Zhang-Shu limiting inside the stage kernel (emitted traces are
+        post-limit) must reproduce the XLA midpoint wet/dry stepper."""
+        from blitzdg_tpu.ops.sw2d import SWPhysics, SWState
+        from blitzdg_tpu.ops.sw2d_wetdry import ssprk2_step_wetdry
+        from blitzdg_tpu.parallel.blocked_shard import (
+            build_sharded_blocked, initial_packed_traces,
+            make_sharded_blocked_step_fused, pack_local, unpack_local)
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        NDEV = 8
+        H_FLOOR = 1e-3
+        mesh0 = box_triangles(8, 8, xlim=(0.0, 1.0), ylim=(0.0, 1.0))
+        mesh2d, _, _ = partition_mesh(mesh0, NDEV)
+        ctx = build_triangle_context(1, mesh2d, filter_cutoff=0.9,
+                                     filter_order=1)
+        H = 1.0 - 1.5 * ctx.x  # beach: dry land for x > 2/3
+        Hx = -1.5 * jnp.ones_like(H)
+        phys = SWPhysics(g=9.81, cd=1e-3, H=H, Hx=Hx,
+                         Hy=jnp.zeros_like(H), well_balanced=False)
+        sb = build_sharded_blocked(ctx, phys, NDEV, dtype=jnp.float64,
+                                   wetdry=True, h_floor=H_FLOOR)
+        assert sb.meta.wetdry
+        meta = sb.meta
+        DT, NSTEP = 2e-4, 6
+
+        h0 = jnp.maximum(H, H_FLOOR)
+        h0 = h0 + 0.1 * jnp.exp(-8.0 * ((ctx.x - 0.3) ** 2
+                                        + (ctx.y - 0.5) ** 2))
+        state = SWState(h=h0, hu=jnp.zeros_like(h0), hv=jnp.zeros_like(h0))
+        ref = state
+        for _ in range(NSTEP):
+            ref = ssprk2_step_wetdry(ctx, ref, 0.0, DT, phys, H_FLOOR,
+                                     scheme="midpoint")
+
+        step = make_sharded_blocked_step_fused(sb, DT, interpret=True)
+        el_mesh = Mesh(np.array(jax.devices()[:NDEV]), ("element",))
+        k_loc = sb.k_loc
+        packed = tuple(jnp.concatenate([
+            pack_local(meta, f[s * k_loc:(s + 1) * k_loc])
+            for s in range(NDEV)], axis=0) for f in state)
+        op_specs = jax.tree.map(
+            lambda a: P("element", *([None] * (a.ndim - 1))), sb.ops)
+        ln_specs = tuple(P("element", *([None] * (a.ndim - 1)))
+                         for a in sb.lean)
+        st_spec = P("element", None, None, None)
+
+        def roll(ops_l, ln_l, *pk):
+            tr0 = initial_packed_traces(sb, ops_l, tuple(pk))
+
+            def body(carry, _):
+                return step(ops_l, ln_l, carry, 0.0), None
+
+            (out, _), _ = jax.lax.scan(body, (tuple(pk), tr0), None,
+                                       length=NSTEP)
+            return out
+
+        fn = jax.jit(jax.shard_map(
+            roll, mesh=el_mesh,
+            in_specs=(op_specs, ln_specs) + (st_spec,) * 3,
+            out_specs=(st_spec,) * 3,
+            check_vma=False))
+        out = fn(sb.ops, sb.lean, *packed)
+        for got_packed, want in zip(out, ref):
+            got = jnp.concatenate([
+                unpack_local(meta, got_packed[s:s + 1])
+                for s in range(NDEV)], axis=0)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-12)
