@@ -1352,3 +1352,105 @@ def make_rollout_blocked(
 
     rollout.defvjp(fwd, bwd)
     return rollout
+
+
+# ---------------------------------------------------------------------------
+# Differentiable sharded stage: custom VJP with an in-kernel pullback
+# ---------------------------------------------------------------------------
+
+def _stage_bwd_kernel(meta, c_dt, t0, use_filter, has_t, apply_sponge, *refs):
+    """Backward of the sharded stage: given cotangents of (out, traces),
+    produce cotangents of (base, cur, ext). The RHS pullback is `jax.vjp`
+    of the SAME `_eval_rhs` values function traced in-kernel (the proven
+    blocked-adjoint pattern); the trace-emission and sponge pieces are
+    linear and handled in closed form."""
+    (ch, chu, chv, eh, ehu, ehv, loh, lohu, lohv, ltr, *rest) = refs
+    if has_t:
+        t_ref, *rest = rest
+    (*ops_list, obh, obhu, obhv, och, ochu, ochv, oeh, oehu, oehv) = rest
+    o = BlockedOps(*(r[:] for r in ops_list))
+    M = meta.M
+    tt = t_ref[0, 0] if has_t else t0
+
+    # trace emission tr = EM @ concat(where(vm,h,1), hu*vm, hv*vm):
+    # lambda_out_c += vm * (EM^T @ ltr)[:, :, c*M:(c+1)*M]
+    lt = ltr[0].reshape(meta.p * meta.NT, 3 * M)
+    lam_add = jnp.einsum("ab,ac->bc", o.EM, lt).reshape(meta.p, meta.NP,
+                                                        3 * M)
+    lo = [loh[0] + lam_add[:, :, :M] * o.vmask,
+          lohu[0] + lam_add[:, :, M:2 * M] * o.vmask,
+          lohv[0] + lam_add[:, :, 2 * M:] * o.vmask]
+
+    if apply_sponge and meta.has_sponge:
+        fac = 1.0 / (1.0 + c_dt * o.SPNG)
+        lam_base = [l * fac for l in lo]
+        lam_R = [c_dt * l * fac for l in lo]
+    else:
+        lam_base = lo
+        lam_R = [c_dt * l for l in lo]
+
+    def rhs_fn(c3, e3):
+        return _eval_rhs(c3[0], c3[1], c3[2], tt, None, o, meta,
+                         use_filter, ext=e3)
+
+    _, vjp = jax.vjp(rhs_fn, (ch[0], chu[0], chv[0]),
+                     (eh[0], ehu[0], ehv[0]))
+    (lc, le) = vjp(tuple(lam_R))
+
+    obh[0], obhu[0], obhv[0] = lam_base
+    och[0], ochu[0], ochv[0] = lc
+    oeh[0], oehu[0], oehv[0] = le
+
+
+@functools.partial(
+    jax.jit, static_argnames=("meta", "c_dt", "t0", "use_filter",
+                              "apply_sponge", "interpret")
+)
+def sw2d_stage_bwd_blocked(
+    ops: BlockedOps,
+    meta: BlockedMeta,
+    cur,       # tuple of 3 (B, p, NP, M): the stage-input state
+    ext,       # tuple of 3 (B, p, NT, M)
+    lam_out,   # tuple of 3 (B, p, NP, M): cotangent of the stage output
+    lam_tr,    # (B, p, NT, 3M): cotangent of the emitted traces
+    c_dt: float,
+    t=None,
+    t0: float = 0.0,
+    use_filter: bool = True,
+    apply_sponge: bool = False,
+    interpret: bool = False,
+):
+    B, p, NP, M = cur[0].shape
+    NT = meta.NT
+    vspec = pl.BlockSpec((1, p, NP, M), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((1, p, NT, M), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    t3spec = pl.BlockSpec((1, p, NT, 3 * M), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    op_specs = [
+        pl.BlockSpec(op.shape, lambda i, nd=op.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for op in ops
+    ]
+    has_t = t is not None
+    t_in, t_specs = [], []
+    if has_t:
+        t_in = [jnp.asarray(t, dtype=cur[0].dtype).reshape(1, 1)]
+        t_specs = [pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)]
+    kernel = functools.partial(_stage_bwd_kernel, meta, float(c_dt),
+                               float(t0), use_filter, has_t, apply_sponge)
+    vshp = jax.ShapeDtypeStruct((B, p, NP, M), cur[0].dtype)
+    tshp = jax.ShapeDtypeStruct((B, p, NT, M), cur[0].dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[vspec] * 3 + [tspec] * 3 + [vspec] * 3 + [t3spec]
+        + t_specs + op_specs,
+        out_specs=(vspec,) * 3 + (vspec,) * 3 + (tspec,) * 3,
+        out_shape=(vshp,) * 3 + (vshp,) * 3 + (tshp,) * 3,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+    )(*cur, *ext, *lam_out, lam_tr, *t_in, *ops)

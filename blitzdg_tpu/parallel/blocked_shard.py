@@ -453,3 +453,88 @@ def make_sharded_blocked_step_fused(sb: ShardedBlocked, dt: float,
         return (tuple(s2), tr2)
 
     return step
+
+
+def make_sharded_blocked_step_diff(sb: ShardedBlocked, dt: float,
+                                   axis_name: str = "element",
+                                   use_filter: bool = True,
+                                   interpret: bool = False):
+    """DIFFERENTIABLE fused sharded step: the stage kernels carry a custom
+    VJP whose backward pass is a Pallas kernel running `jax.vjp` of the
+    same values RHS in-kernel (sw2d_stage_bwd_blocked); the lean exchange
+    is plain jnp (take/ppermute/scatter) and transposes natively. The
+    whole sharded rollout is then `jax.grad`-able — multi-chip MPC
+    adjoints at blocked-kernel speed.
+
+    Same carry contract as make_sharded_blocked_step_fused."""
+    from ..ops.sw2d_blocked import (sw2d_stage_blocked,
+                                    sw2d_stage_bwd_blocked)
+    from . import halo as halo_mod
+
+    meta, plan = sb.meta, sb.plan
+    p, NT, M = meta.p, meta.NT, meta.M
+    n = plan.n_shards
+
+    def make_stage(c_dt, apply_sponge):
+        @jax.custom_vjp
+        def stage(ops, base, cur, ext, t):
+            out = sw2d_stage_blocked(
+                ops, meta, base, cur, ext, c_dt, t0=0.0,
+                use_filter=use_filter, emit_traces=True,
+                apply_sponge=apply_sponge, interpret=interpret, t=t)
+            *o3, tr = out
+            return (tuple(o3), tr)
+
+        def fwd(ops, base, cur, ext, t):
+            res = stage(ops, base, cur, ext, t)
+            return res, (ops, cur, ext, t)
+
+        def bwd(saved, cot):
+            ops, cur, ext, t = saved
+            lam_out, lam_tr = cot
+            outs = sw2d_stage_bwd_blocked(
+                ops, meta, cur, ext, tuple(lam_out), lam_tr, c_dt, t=t,
+                use_filter=use_filter, apply_sponge=apply_sponge,
+                interpret=interpret)
+            lb, lc, le = tuple(outs[0:3]), tuple(outs[3:6]), tuple(outs[6:9])
+            zops = jax.tree.map(jnp.zeros_like, ops)
+            zt = None if t is None else jnp.zeros_like(t)
+            return (zops, lb, lc, le, zt)
+
+        stage.defvjp(fwd, bwd)
+        return stage
+
+    stage1 = make_stage(0.5 * dt, False)
+    stage2 = make_stage(dt, True)
+
+    def lean_exchange(traces, lean_row):
+        send_flat, ext_idx, ext_src = (a[0] for a in lean_row)
+        flat = traces[0].reshape(-1)
+        outs = []
+        for di, d in enumerate(plan.offs):
+            buf = jnp.stack([jnp.take(flat, send_flat[di] + c * M)
+                             for c in range(3)])
+            outs.append(halo_mod._ppermute(
+                buf, axis_name, [(j, (j + d) % n) for j in range(n)]))
+        if outs:
+            rbuf = jnp.concatenate(outs, axis=1)
+            vals = jnp.take(rbuf, ext_src, axis=1)
+        else:
+            vals = jnp.zeros((3, ext_idx.shape[0]), traces.dtype)
+        zero = jnp.zeros((p * NT * M,), traces.dtype)
+        return tuple(
+            zero.at[ext_idx].set(vals[c], mode="drop").reshape(1, p, NT, M)
+            for c in range(3))
+
+    def step(local_ops: BlockedOps, lean_row, carry, t):
+        packed, traces = carry
+        o = jax.tree.map(lambda a: a[0], local_ops)
+        t1 = t if meta.tidal is not None else None
+        t2 = (t + 0.5 * dt) if meta.tidal is not None else None
+        ext1 = lean_exchange(traces, lean_row)
+        s1, tr1 = stage1(o, packed, packed, ext1, t1)
+        ext2 = lean_exchange(tr1, lean_row)
+        s2, tr2 = stage2(o, packed, s1, ext2, t2)
+        return (s2, tr2)
+
+    return step
