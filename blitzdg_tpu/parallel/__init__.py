@@ -60,3 +60,21 @@ __all__ = [
     "halo_sw2d_timestep",
     "halo_poisson2d_op",
 ]
+
+from .blocked_shard import (  # noqa: E402,F401
+    ShardedBlocked,
+    build_sharded_blocked,
+    initial_packed_traces,
+    make_sharded_blocked_step,
+    make_sharded_blocked_step_diff,
+    make_sharded_blocked_step_fused,
+)
+
+__all__ += [
+    "ShardedBlocked",
+    "build_sharded_blocked",
+    "initial_packed_traces",
+    "make_sharded_blocked_step",
+    "make_sharded_blocked_step_fused",
+    "make_sharded_blocked_step_diff",
+]
