@@ -836,7 +836,7 @@ _OP_FIELDS = len(BlockedOps._fields)
 
 
 def _stage_kernel(meta, c_dt, t0, use_filter, emit_traces, apply_sponge,
-                  has_t, *refs):
+                  has_t, has_ctrl, *refs):
     """One RK STAGE with external '+'-trace override:
     out = base + c_dt * R(cur, ext). Used by the element-sharded driver
     (parallel/blocked_shard.py) where the halo exchange must happen
@@ -848,6 +848,11 @@ def _stage_kernel(meta, c_dt, t0, use_filter, emit_traces, apply_sponge,
     (bh, bhu, bhv, ch, chu, chv, eh, ehu, ehv, *rest) = refs
     if has_t:
         t_ref, *rest = rest
+    if has_ctrl:
+        ctrl_ref, *rest = rest
+        ctrl = [ctrl_ref[0, c] for c in range(meta.n_ctrl)]
+    else:
+        ctrl = None
     if emit_traces:
         *ops_list, oh, ohu, ohv, otr = rest
     else:
@@ -855,7 +860,7 @@ def _stage_kernel(meta, c_dt, t0, use_filter, emit_traces, apply_sponge,
     o = BlockedOps(*(r[:] for r in ops_list))
     ext = (eh[0], ehu[0], ehv[0])
     tt = t_ref[0, 0] if has_t else t0
-    r1, r2, r3 = _eval_rhs(ch[0], chu[0], chv[0], tt, None, o, meta,
+    r1, r2, r3 = _eval_rhs(ch[0], chu[0], chv[0], tt, ctrl, o, meta,
                            use_filter, ext=ext)
     h2 = bh[0] + c_dt * r1
     hu2 = bhu[0] + c_dt * r2
@@ -898,6 +903,7 @@ def sw2d_stage_blocked(
     apply_sponge: bool = False,
     interpret: bool = False,
     t=None,  # optional (1, 1) runtime stage time (tidal forcing); else t0
+    ctrl=None,  # optional (1, n_ctrl) control vector (SMEM)
 ):
     """out = base + c_dt * R(cur) with cut-face traces from `ext`;
     optionally also returns the packed (B, p, NT, 3M) '-' traces of out.
@@ -916,8 +922,10 @@ def sw2d_stage_blocked(
         for op in ops
     ]
     has_t = t is not None
+    has_ctrl = ctrl is not None
     kernel = functools.partial(_stage_kernel, meta, float(c_dt), float(t0),
-                               use_filter, emit_traces, apply_sponge, has_t)
+                               use_filter, emit_traces, apply_sponge, has_t,
+                               has_ctrl)
     shp = jax.ShapeDtypeStruct((B, p, NP, M), base[0].dtype)
     out_specs = [vspec, vspec, vspec]
     out_shape = [shp, shp, shp]
@@ -933,6 +941,11 @@ def sw2d_stage_blocked(
         t_in = [jnp.asarray(t, dtype=base[0].dtype).reshape(1, 1)]
         t_specs = [pl.BlockSpec((1, 1), lambda i: (0, 0),
                                 memory_space=pltpu.SMEM)]
+    if has_ctrl:
+        t_in.append(jnp.asarray(ctrl, dtype=base[0].dtype
+                                ).reshape(1, meta.n_ctrl))
+        t_specs.append(pl.BlockSpec((1, meta.n_ctrl), lambda i: (0, 0),
+                                    memory_space=pltpu.SMEM))
     return pl.pallas_call(
         kernel,
         grid=(B,),
@@ -1358,7 +1371,8 @@ def make_rollout_blocked(
 # Differentiable sharded stage: custom VJP with an in-kernel pullback
 # ---------------------------------------------------------------------------
 
-def _stage_bwd_kernel(meta, c_dt, t0, use_filter, has_t, apply_sponge, *refs):
+def _stage_bwd_kernel(meta, c_dt, t0, use_filter, has_t, has_ctrl,
+                      apply_sponge, *refs):
     """Backward of the sharded stage: given cotangents of (out, traces),
     produce cotangents of (base, cur, ext). The RHS pullback is `jax.vjp`
     of the SAME `_eval_rhs` values function traced in-kernel (the proven
@@ -1367,7 +1381,17 @@ def _stage_bwd_kernel(meta, c_dt, t0, use_filter, has_t, apply_sponge, *refs):
     (ch, chu, chv, eh, ehu, ehv, loh, lohu, lohv, ltr, *rest) = refs
     if has_t:
         t_ref, *rest = rest
-    (*ops_list, obh, obhu, obhv, och, ochu, ochv, oeh, oehu, oehv) = rest
+    if has_ctrl:
+        ctrl_ref, *rest = rest
+        ctrl = [ctrl_ref[0, c] for c in range(meta.n_ctrl)]
+    else:
+        ctrl = None
+    if has_ctrl:
+        (*ops_list, obh, obhu, obhv, och, ochu, ochv, oeh, oehu, oehv,
+         octl) = rest
+    else:
+        (*ops_list, obh, obhu, obhv, och, ochu, ochv,
+         oeh, oehu, oehv) = rest
     o = BlockedOps(*(r[:] for r in ops_list))
     M = meta.M
     tt = t_ref[0, 0] if has_t else t0
@@ -1389,13 +1413,24 @@ def _stage_bwd_kernel(meta, c_dt, t0, use_filter, has_t, apply_sponge, *refs):
         lam_base = lo
         lam_R = [c_dt * l for l in lo]
 
-    def rhs_fn(c3, e3):
-        return _eval_rhs(c3[0], c3[1], c3[2], tt, None, o, meta,
-                         use_filter, ext=e3)
+    if has_ctrl:
+        def rhs_fn(c3, e3, cc):
+            return _eval_rhs(c3[0], c3[1], c3[2], tt, list(cc), o, meta,
+                             use_filter, ext=e3)
 
-    _, vjp = jax.vjp(rhs_fn, (ch[0], chu[0], chv[0]),
-                     (eh[0], ehu[0], ehv[0]))
-    (lc, le) = vjp(tuple(lam_R))
+        _, vjp = jax.vjp(rhs_fn, (ch[0], chu[0], chv[0]),
+                         (eh[0], ehu[0], ehv[0]), tuple(ctrl))
+        (lc, le, lctl) = vjp(tuple(lam_R))
+        for c in range(meta.n_ctrl):
+            octl[0, c] = lctl[c]
+    else:
+        def rhs_fn(c3, e3):
+            return _eval_rhs(c3[0], c3[1], c3[2], tt, None, o, meta,
+                             use_filter, ext=e3)
+
+        _, vjp = jax.vjp(rhs_fn, (ch[0], chu[0], chv[0]),
+                         (eh[0], ehu[0], ehv[0]))
+        (lc, le) = vjp(tuple(lam_R))
 
     obh[0], obhu[0], obhv[0] = lam_base
     och[0], ochu[0], ochv[0] = lc
@@ -1419,6 +1454,7 @@ def sw2d_stage_bwd_blocked(
     use_filter: bool = True,
     apply_sponge: bool = False,
     interpret: bool = False,
+    ctrl=None,  # (1, n_ctrl): also emits the control cotangent when given
 ):
     B, p, NP, M = cur[0].shape
     NT = meta.NT
@@ -1434,22 +1470,36 @@ def sw2d_stage_bwd_blocked(
         for op in ops
     ]
     has_t = t is not None
+    has_ctrl = ctrl is not None
     t_in, t_specs = [], []
     if has_t:
         t_in = [jnp.asarray(t, dtype=cur[0].dtype).reshape(1, 1)]
         t_specs = [pl.BlockSpec((1, 1), lambda i: (0, 0),
                                 memory_space=pltpu.SMEM)]
+    if has_ctrl:
+        t_in.append(jnp.asarray(ctrl, dtype=cur[0].dtype
+                                ).reshape(1, meta.n_ctrl))
+        t_specs.append(pl.BlockSpec((1, meta.n_ctrl), lambda i: (0, 0),
+                                    memory_space=pltpu.SMEM))
     kernel = functools.partial(_stage_bwd_kernel, meta, float(c_dt),
-                               float(t0), use_filter, has_t, apply_sponge)
+                               float(t0), use_filter, has_t, has_ctrl,
+                               apply_sponge)
     vshp = jax.ShapeDtypeStruct((B, p, NP, M), cur[0].dtype)
     tshp = jax.ShapeDtypeStruct((B, p, NT, M), cur[0].dtype)
+    out_specs = [vspec] * 3 + [vspec] * 3 + [tspec] * 3
+    out_shape = [vshp] * 3 + [vshp] * 3 + [tshp] * 3
+    if has_ctrl:
+        out_specs.append(pl.BlockSpec((1, meta.n_ctrl), lambda i: (i, 0),
+                                      memory_space=pltpu.SMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, meta.n_ctrl),
+                                              cur[0].dtype))
     return pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[vspec] * 3 + [tspec] * 3 + [vspec] * 3 + [t3spec]
         + t_specs + op_specs,
-        out_specs=(vspec,) * 3 + (vspec,) * 3 + (tspec,) * 3,
-        out_shape=(vshp,) * 3 + (vshp,) * 3 + (tshp,) * 3,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),

@@ -71,6 +71,8 @@ def build_sharded_blocked(
     tidal: tuple | None = None,
     wetdry: bool = False,
     h_floor: float = 1e-3,
+    forcing_bu: np.ndarray | None = None,  # (n_ctrl, K, Np) hu injector
+    forcing_bv: np.ndarray | None = None,
 ) -> ShardedBlocked:
     """Freeze per-shard blocked operator sets + the halo plan.
 
@@ -264,13 +266,33 @@ def build_sharded_blocked(
              if has_bathy else rep(ones_t)),
         HPt=(to(stack(lambda s: padT3(HP_g, NT, s * k_loc, fill=1.0)))
              if has_bathy else rep(ones_t)),
-        BU=rep(np.zeros((1, p, NP, M))), BV=rep(np.zeros((1, p, NP, M))),
-        FBU=rep(np.zeros((1, 1, 1, 1))), FBV=rep(np.zeros((1, 1, 1, 1))),
+        BU=(to(stack(lambda s: np.stack(
+            [padT3(forcing_bu[c], NP, s * k_loc)
+             for c in range(forcing_bu.shape[0])])))
+            if forcing_bu is not None else rep(np.zeros((1, p, NP, M)))),
+        BV=(to(stack(lambda s: np.stack(
+            [padT3(forcing_bv[c], NP, s * k_loc)
+             for c in range(forcing_bv.shape[0])])))
+            if forcing_bv is not None else rep(np.zeros((1, p, NP, M)))),
+        # filter-folded injectors (exact on affine meshes, like the
+        # single-device builder's FBU/FBV)
+        FBU=(to(stack(lambda s: np.stack(
+            [padT3(forcing_bu[c] @ filt_np.T, NP, s * k_loc)
+             for c in range(forcing_bu.shape[0])])))
+            if (forcing_bu is not None and fold)
+            else rep(np.zeros((1, 1, 1, 1)))),
+        FBV=(to(stack(lambda s: np.stack(
+            [padT3(forcing_bv[c] @ filt_np.T, NP, s * k_loc)
+             for c in range(forcing_bv.shape[0])])))
+            if (forcing_bv is not None and fold)
+            else rep(np.zeros((1, 1, 1, 1)))),
         EXTM=to(stack(extm_for)),
     )
     meta = BlockedMeta(
         n_p=n_p, n_fp=n_fp, n_faces=n_faces, k_elem=k_loc,
-        NP=NP, NT=NT, Kp=Kp, p=p, M=M, n_ctrl=0, g=float(phys.g),
+        NP=NP, NT=NT, Kp=Kp, p=p, M=M,
+        n_ctrl=0 if forcing_bu is None else int(forcing_bu.shape[0]),
+        g=float(phys.g),
         cd=float(phys.cd), f_cor=float(phys.f_cor), wb=wb,
         has_bathy=has_bathy, has_sponge=has_sponge,
         fold=fold,
@@ -434,7 +456,7 @@ def make_sharded_blocked_step_fused(sb: ShardedBlocked, dt: float,
             zero.at[ext_idx].set(vals[c], mode="drop").reshape(1, p, NT, M)
             for c in range(3))
 
-    def step(local_ops: BlockedOps, lean_row, carry, t):
+    def step(local_ops: BlockedOps, lean_row, carry, t, ctrl=None):
         packed, traces = carry
         o = jax.tree.map(lambda a: a[0], local_ops)
         # dynamic stage time (SMEM) only when the physics needs it (tidal)
@@ -444,12 +466,12 @@ def make_sharded_blocked_step_fused(sb: ShardedBlocked, dt: float,
         *s1, tr1 = sw2d_stage_blocked(
             o, meta, packed, packed, ext1, 0.5 * dt, t0=0.0,
             use_filter=use_filter, emit_traces=True, interpret=interpret,
-            t=t1)
+            t=t1, ctrl=ctrl)
         ext2 = lean_exchange(tr1, lean_row)
         *s2, tr2 = sw2d_stage_blocked(
             o, meta, packed, tuple(s1), ext2, dt, t0=0.0,
             use_filter=use_filter, emit_traces=True, apply_sponge=True,
-            interpret=interpret, t=t2)
+            interpret=interpret, t=t2, ctrl=ctrl)
         return (tuple(s2), tr2)
 
     return step
@@ -477,29 +499,32 @@ def make_sharded_blocked_step_diff(sb: ShardedBlocked, dt: float,
 
     def make_stage(c_dt, apply_sponge):
         @jax.custom_vjp
-        def stage(ops, base, cur, ext, t):
+        def stage(ops, base, cur, ext, t, ctrl):
             out = sw2d_stage_blocked(
                 ops, meta, base, cur, ext, c_dt, t0=0.0,
                 use_filter=use_filter, emit_traces=True,
-                apply_sponge=apply_sponge, interpret=interpret, t=t)
+                apply_sponge=apply_sponge, interpret=interpret, t=t,
+                ctrl=ctrl)
             *o3, tr = out
             return (tuple(o3), tr)
 
-        def fwd(ops, base, cur, ext, t):
-            res = stage(ops, base, cur, ext, t)
-            return res, (ops, cur, ext, t)
+        def fwd(ops, base, cur, ext, t, ctrl):
+            res = stage(ops, base, cur, ext, t, ctrl)
+            return res, (ops, cur, ext, t, ctrl)
 
         def bwd(saved, cot):
-            ops, cur, ext, t = saved
+            ops, cur, ext, t, ctrl = saved
             lam_out, lam_tr = cot
             outs = sw2d_stage_bwd_blocked(
                 ops, meta, cur, ext, tuple(lam_out), lam_tr, c_dt, t=t,
                 use_filter=use_filter, apply_sponge=apply_sponge,
-                interpret=interpret)
+                interpret=interpret, ctrl=ctrl)
             lb, lc, le = tuple(outs[0:3]), tuple(outs[3:6]), tuple(outs[6:9])
             zops = jax.tree.map(jnp.zeros_like, ops)
             zt = None if t is None else jnp.zeros_like(t)
-            return (zops, lb, lc, le, zt)
+            lctl = (outs[9].reshape(jnp.shape(ctrl))
+                    if ctrl is not None else None)
+            return (zops, lb, lc, le, zt, lctl)
 
         stage.defvjp(fwd, bwd)
         return stage
@@ -526,15 +551,15 @@ def make_sharded_blocked_step_diff(sb: ShardedBlocked, dt: float,
             zero.at[ext_idx].set(vals[c], mode="drop").reshape(1, p, NT, M)
             for c in range(3))
 
-    def step(local_ops: BlockedOps, lean_row, carry, t):
+    def step(local_ops: BlockedOps, lean_row, carry, t, ctrl=None):
         packed, traces = carry
         o = jax.tree.map(lambda a: a[0], local_ops)
         t1 = t if meta.tidal is not None else None
         t2 = (t + 0.5 * dt) if meta.tidal is not None else None
         ext1 = lean_exchange(traces, lean_row)
-        s1, tr1 = stage1(o, packed, packed, ext1, t1)
+        s1, tr1 = stage1(o, packed, packed, ext1, t1, ctrl)
         ext2 = lean_exchange(tr1, lean_row)
-        s2, tr2 = stage2(o, packed, s1, ext2, t2)
+        s2, tr2 = stage2(o, packed, s1, ext2, t2, ctrl)
         return (s2, tr2)
 
     return step
