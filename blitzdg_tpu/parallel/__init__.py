@@ -28,7 +28,6 @@ from .sharding import (
     gauss_shard_specs,
     make_device_mesh,
     shard_context,
-    sharded_sw2d_rhs,
 )
 
 __all__ = [
@@ -48,7 +47,6 @@ __all__ = [
     "gauss_shard_specs",
     "distributed_init",
     "make_global_mesh",
-    "sharded_sw2d_rhs",
     "HaloPlan",
     "build_halo_plan",
     "build_gauss_halo_plan",

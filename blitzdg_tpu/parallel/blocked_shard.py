@@ -390,14 +390,19 @@ def make_sharded_blocked_step(sb: ShardedBlocked, ctx_fmask, dt: float,
     def step(local_ops: BlockedOps, tables_row, packed, t):
         plan_row = tuple(a[0] for a in tables_row)
         o = jax.tree.map(lambda a: a[0], local_ops)
+        # dynamic stage times via SMEM when the physics needs them (tidal
+        # BC_OUT) — mirrors the fused path; stage 2's RHS time is t + dt/2
+        t1 = t if meta.tidal is not None else None
+        t2 = (t + 0.5 * dt) if meta.tidal is not None else None
         ext1 = exchange(local_ops, plan_row, packed)
         s1 = sw2d_stage_blocked(o, meta, packed, packed, ext1, 0.5 * dt,
                                 t0=0.0, use_filter=use_filter,
-                                interpret=interpret)
+                                interpret=interpret, t=t1)
         ext2 = exchange(local_ops, plan_row, s1)
         s2 = sw2d_stage_blocked(o, meta, packed, s1, ext2, dt,
                                 t0=0.0, use_filter=use_filter,
-                                apply_sponge=True, interpret=interpret)
+                                apply_sponge=True, interpret=interpret,
+                                t=t2)
         return s2
 
     return step
@@ -492,6 +497,16 @@ def make_sharded_blocked_step_diff(sb: ShardedBlocked, dt: float,
     from ..ops.sw2d_blocked import (sw2d_stage_blocked,
                                     sw2d_stage_bwd_blocked)
     from . import halo as halo_mod
+
+    if sb.meta.wetdry:
+        # the backward stage kernel differentiates only
+        # out = sponge(base + c_dt*R(cur)) — the forward kernel's wetdry
+        # positivity limiter (_limit_packed) has no Jacobian in it, so
+        # wetdry gradients would be silently biased
+        raise NotImplementedError(
+            "make_sharded_blocked_step_diff does not differentiate the "
+            "wetdry positivity limiter; build with wetdry=False (or use "
+            "the non-diff sharded step for wetdry rollouts)")
 
     meta, plan = sb.meta, sb.plan
     p, NT, M = meta.p, meta.NT, meta.M

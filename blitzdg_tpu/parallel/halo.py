@@ -7,8 +7,8 @@ faces on the cut. At setup we build, per shard and per ring offset d, the
 exact list of local faces some shard at distance d needs; at run time each
 offset is ONE `lax.ppermute` of a fixed-size face buffer around the ring.
 Communication is proportional to the cut (the halo), not the domain —
-unlike the all_gather fallback in sharding.py, which ships every trace to
-every shard.
+unlike an all_gather exchange, which would ship every trace to every
+shard.
 
 Requires the face-granular structure of mapP (context.face_trace_structure)
 — every conforming mesh has it.
@@ -52,8 +52,9 @@ def build_halo_plan(ctx: DGContext2D, n_shards: int) -> HaloPlan:
     assert K % n_shards == 0, (K, n_shards)
     fts = face_trace_structure(ctx.mapP, n_fp)
     if fts is None:
-        raise ValueError("mapP has no face-granular structure; "
-                         "use the all_gather path (sharded_sw2d_rhs)")
+        raise ValueError("mapP has no face-granular structure "
+                         "(non-conforming mesh?); the halo exchange "
+                         "requires conforming faces")
     face_nbr, face_flip = fts  # global face ids / flip flags, (K*nf,)
     return _plan_from_struct(face_nbr, face_flip, n_shards,
                              (K // n_shards) * nf)

@@ -61,6 +61,34 @@ def _fiedler_side(nbrs: list[np.ndarray], n_left: int) -> np.ndarray:
     import scipy.sparse as sp
 
     A = sp.coo_matrix((np.ones(rows.size), (rows, cols)), shape=(n, n)).tocsr()
+
+    # A disconnected block (possible after bisecting an irregular mesh) has
+    # several zero Laplacian eigenvalues; the "Fiedler" vector is then just
+    # a component-indicator and the split is arbitrary. Assign whole
+    # components greedily (largest first, zero cut by construction), and
+    # top off the exact n_left balance by Fiedler-splitting one component.
+    n_comp, labels = sp.csgraph.connected_components(A, directed=False)
+    if n_comp > 1:
+        comps = sorted((np.where(labels == c)[0] for c in range(n_comp)),
+                       key=len, reverse=True)
+        side = np.zeros(n, dtype=bool)
+        rem = n_left
+        leftover = []
+        for ids in comps:
+            if len(ids) <= rem:
+                side[ids] = True
+                rem -= len(ids)
+            else:
+                leftover.append(ids)
+        if rem > 0:
+            ids = leftover[0]  # exists: total leftover size >= rem
+            pos = {g: i for i, g in enumerate(ids)}
+            # components are closed under adjacency: every neighbor maps
+            sub = [np.array([pos[g] for g in nbrs[g0]], dtype=int)
+                   for g0 in ids]
+            side[ids[_fiedler_side(sub, rem)]] = True
+        return side
+
     L = sp.diags(np.asarray(A.sum(axis=1)).ravel()) - A
     if n <= 512:
         _, vecs = np.linalg.eigh(L.toarray())

@@ -35,6 +35,9 @@ CONV_BREAKDOWN = 2
 CONV_INF_OR_NAN = 3
 CONV_DIVERGED = 4  # residual grew past div_tol * ||r0|| (GMRESSolver.hpp:67)
 CONV_STAGNATION = 5  # |dx_i| <= stg_tol*|x_i| for all i (GMRESSolver.hpp:416-427)
+# recurrence claimed convergence but the TRUE residual b - A x misses tol
+# (reference: the post-loop true-residual verification, GMRESSolver.hpp:71)
+CONV_TRUE_RNRM = 6
 
 
 class SolveResult(NamedTuple):
@@ -132,14 +135,23 @@ def cg(
     rn = norm(r)
     use_best = ~jnp.isfinite(rn) | (rmin < rn)
     x = jnp.where(use_best, xbest, x)
-    relres = jnp.where(use_best, rmin, rn) / bnorm
+    relres_rec = jnp.where(use_best, rmin, rn) / bnorm
+    # TRUE-residual verification (one extra matvec — reference true_rnrm,
+    # GMRESSolver.hpp:71): the recurrence r drifts from b - A x under
+    # roundoff/ill-conditioning; report the true relres, and flag the case
+    # where the recurrence claimed success but the true residual disagrees.
+    relres = norm(b - matvec(x)) / bnorm
     flag = jnp.where(
         relres <= tol,
         CONV_SUCCESS,
         jnp.where(
             ~jnp.isfinite(relres),
             CONV_INF_OR_NAN,
-            jnp.where(broke, CONV_BREAKDOWN, CONV_MAXITS),
+            jnp.where(
+                relres_rec <= tol,
+                CONV_TRUE_RNRM,
+                jnp.where(broke, CONV_BREAKDOWN, CONV_MAXITS),
+            ),
         ),
     )
     return SolveResult(x=x, iters=it, relres=relres, flag=flag)
@@ -266,30 +278,34 @@ def gmres(
         y = jax.scipy.linalg.solve_triangular(Rsq, gm, lower=False)
         dx = precon(V[:m].T @ y)
         x_new = x + dx
-        r_new = b - matvec(x_new)  # also seeds the next cycle
+        # TRUE residual, not the Givens recurrence estimate |g[j+1]| — this
+        # is the reference's true_rnrm verification (GMRESSolver.hpp:71)
+        # done every cycle (it also seeds the next cycle's Krylov space)
+        r_new = b - matvec(x_new)
         res = norm(r_new)
         # stagnation (GMRESSolver.hpp:416-427): stagnant unless some
         # component with x_j != 0 moved by more than stg_tol relative
         stag = all_((x_new == 0) | (jnp.abs(dx) <= stg_tol * jnp.abs(x_new)))
-        return x_new, r_new, res, stag
+        rec_ok = jnp.abs(g[j_used]) <= tol * bnorm  # recurrence's own claim
+        return x_new, r_new, res, stag, rec_ok
 
     r0 = b - matvec(x0)
     res0 = norm(r0)
     false_ = jnp.asarray(False)
-    state0 = (x0, r0, res0, jnp.asarray(0), false_, false_)
+    state0 = (x0, r0, res0, jnp.asarray(0), false_, false_, false_)
 
     def cond(state):
-        _, _, res, it, stag, div = state
+        _, _, res, it, stag, div, _ = state
         return ((res / bnorm > tol) & (it < maxiter) & jnp.isfinite(res)
                 & ~stag & ~div)
 
     def body(state):
-        x, r, _, it, _, _ = state
-        x, r, res, stag = arnoldi_cycle(x, r)
+        x, r, _, it, _, _, _ = state
+        x, r, res, stag, rec_ok = arnoldi_cycle(x, r)
         div = res >= div_tol * res0
-        return (x, r, res, it + 1, stag, div)
+        return (x, r, res, it + 1, stag, div, rec_ok)
 
-    x, _, res, it, stag, div = jax.lax.while_loop(cond, body, state0)
+    x, _, res, it, stag, div, rec_ok = jax.lax.while_loop(cond, body, state0)
     relres = res / bnorm
     flag = jnp.where(
         relres <= tol,
@@ -300,7 +316,15 @@ def gmres(
             jnp.where(
                 div,
                 CONV_DIVERGED,
-                jnp.where(stag, CONV_STAGNATION, CONV_MAXITS),
+                jnp.where(
+                    stag,
+                    CONV_STAGNATION,
+                    # the last cycle's Givens recurrence claimed convergence
+                    # but the true residual disagrees: the reference's
+                    # true_rnrm flag (GMRESSolver.hpp:71) — distinct from an
+                    # honest maxits exhaustion
+                    jnp.where(rec_ok, CONV_TRUE_RNRM, CONV_MAXITS),
+                ),
             ),
         ),
     )

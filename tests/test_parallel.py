@@ -15,7 +15,6 @@ from blitzdg_tpu.parallel import (
     partition_mesh,
     rcb_partition,
     shard_context,
-    sharded_sw2d_rhs,
 )
 from blitzdg_tpu.specgrid.triangle import build_triangle_context
 
@@ -102,24 +101,31 @@ def test_pjit_auto_sharding_matches_single(problem):
 
 
 def test_shard_map_halo_exchange_matches_single(problem):
+    """ppermute-halo RHS inside shard_map vs single-device truth (the
+    retired all_gather demonstrator's parity test, retargeted at the
+    deployable halo path; coastal physics is covered separately below)."""
+    from blitzdg_tpu.parallel import build_halo_plan, halo_sw2d_rhs, halo_tables
+
     ctx, state = problem
     phys = SWPhysics(g=9.81)
     ref = sw2d_rhs(ctx, state, 0.0, phys)
 
     mesh = make_device_mesh(1, NDEV)
     el2 = P("element", None)
+    plan = build_halo_plan(ctx, NDEV)
+    tables = halo_tables(plan)
 
     ctx_specs = _context_specs(ctx)
-
     state_specs = jax.tree.map(lambda a: el2, state)
+    tb_specs = tuple(P("element", *([None] * (a.ndim - 1))) for a in tables)
 
     fn = jax.shard_map(
-        lambda c, s: sharded_sw2d_rhs(c, s, 0.0, phys),
+        lambda c, s, tb: halo_sw2d_rhs(c, s, 0.0, phys, tb, plan),
         mesh=mesh,
-        in_specs=(ctx_specs, state_specs),
+        in_specs=(ctx_specs, state_specs, tb_specs),
         out_specs=state_specs,
     )
-    out = jax.jit(fn)(ctx, state)
+    out = jax.jit(fn)(ctx, state, tables)
     np.testing.assert_allclose(np.asarray(out.h), np.asarray(ref.h), atol=1e-11)
     np.testing.assert_allclose(np.asarray(out.hu), np.asarray(ref.hu), atol=1e-11)
     np.testing.assert_allclose(np.asarray(out.hv), np.asarray(ref.hv), atol=1e-11)

@@ -448,6 +448,47 @@ class TestGMRESFlags:
                     maxiter=100, div_tol=1e-12)
         assert int(res.flag) == CONV_DIVERGED
 
+    def test_cg_true_residual_flag(self):
+        """Recurrence-vs-true residual divergence (reference true_rnrm,
+        GMRESSolver.hpp:71): on an ill-conditioned SPD system in float32
+        the CG recurrence residual drops below tol while the true residual
+        b - A x stalls at the roundoff floor — the exit check must report
+        the TRUE relres and flag the discrepancy."""
+        from blitzdg_tpu.solvers.krylov import CONV_TRUE_RNRM
+
+        rng = np.random.default_rng(7)
+        n = 64
+        Q = np.linalg.qr(rng.normal(size=(n, n)))[0]
+        A = jnp.asarray(
+            (Q @ np.diag(np.logspace(-5, 0, n)) @ Q.T).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=n).astype(np.float32))
+        res = cg(lambda v: A @ v, b, tol=1e-6, maxiter=2000)
+        assert int(res.flag) == CONV_TRUE_RNRM
+        # the reported relres is the verified true residual, not the
+        # recurrence's optimistic claim
+        x = np.asarray(res.x)
+        true_rel = np.linalg.norm(np.asarray(b) - np.asarray(A) @ x) / \
+            np.linalg.norm(np.asarray(b))
+        np.testing.assert_allclose(float(res.relres), true_rel, rtol=1e-2)
+        assert true_rel > 1e-6
+
+    def test_gmres_true_residual_flag(self):
+        """Same failure mode through GMRES: the progressive-Givens estimate
+        |g[j+1]| claims convergence inside the cycle, the per-cycle true
+        residual disagrees, and after maxiter retries the exit flags
+        true_rnrm rather than a generic maxits."""
+        from blitzdg_tpu.solvers.krylov import CONV_TRUE_RNRM
+
+        rng = np.random.default_rng(7)
+        n = 64
+        Q = np.linalg.qr(rng.normal(size=(n, n)))[0]
+        A = jnp.asarray(
+            (Q @ np.diag(np.logspace(-5, 0, n)) @ Q.T).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=n).astype(np.float32))
+        res = gmres(lambda v: A @ v, b, tol=1e-7, restart=n, maxiter=3)
+        assert int(res.flag) == CONV_TRUE_RNRM
+        assert float(res.relres) > 1e-7
+
     def test_gmres_defaults_still_converge(self):
         rng = np.random.default_rng(5)
         A = rng.normal(size=(24, 24)) + 8 * np.eye(24)
@@ -591,7 +632,9 @@ class TestCurvedSIP:
             return poisson2d_curved_sip_op(
                 ctx, cub, gauss, v.reshape(ctx.k_elem, ctx.n_p)).reshape(-1)
 
-        res = cg(matvec, jnp.asarray(b), tol=1e-13, maxiter=20000)
+        # tol must sit above the operator's f64 roundoff floor (~4e-9 true
+        # relres here) now that cg verifies the TRUE residual at exit
+        res = cg(matvec, jnp.asarray(b), tol=1e-8, maxiter=20000)
         assert int(res.flag) == CONV_SUCCESS
         diff = np.max(np.abs(np.asarray(res.x) - u_asm))
         assert diff < 1e-8, diff  # same discretization, solver-level only
@@ -615,7 +658,8 @@ class TestCurvedSIP:
                          ("ldg", poisson2d_curved_op)):
             mv = lambda v: op(ctx, cub, gauss,
                               v.reshape(ctx.k_elem, ctx.n_p)).reshape(-1)
-            res = cg(mv, jnp.asarray(b), tol=1e-11, maxiter=20000)
+            # above the f64 true-residual floor (see test above)
+            res = cg(mv, jnp.asarray(b), tol=1e-8, maxiter=20000)
             assert int(res.flag) == CONV_SUCCESS, name
             sol[name] = np.asarray(res.x)
         assert np.max(np.abs(sol["sip"] - sol["ldg"])) < 5e-3
