@@ -679,7 +679,7 @@ def main():
 
     from blitzdg_tpu.parallel.blocked_shard import (
         build_sharded_blocked,
-        initial_packed_traces,
+        initial_send_buffer,
         make_sharded_blocked_step_fused,
         pack_local,
     )
@@ -696,41 +696,46 @@ def main():
     _phase('setup+compile+run: sharded blocked step (ndev=1)')
     sb, packed_sb = staged(_setup_sb)
     if stage is not None:
-        sb = sb._replace(ops=jax.device_put(sb.ops, accel),
-                         lean=tuple(jax.device_put(a, accel)
-                                    for a in sb.lean))
+        sb = sb._replace(ops=jax.device_put(sb.ops, accel))
         packed_sb = tuple(jax.device_put(a, accel) for a in packed_sb)
     sbstep = make_sharded_blocked_step_fused(sb, DT2)
     sb_mesh = _Mesh(_np.array(jax.devices()[:1]), ("element",))
     sb_ospec = jax.tree.map(
         lambda a: _P("element", *([None] * (a.ndim - 1))), sb.ops)
-    sb_lspec = tuple(_P("element", *([None] * (a.ndim - 1)))
-                     for a in sb.lean)
     sb_sspec = _P("element", None, None, None)
 
-    def sb_roll(ops_l, ln_l, *pk):
-        tr0 = initial_packed_traces(sb, ops_l, tuple(pk))
+    def sb_roll(ops_l, *pk):
+        sb0 = initial_send_buffer(sb, ops_l, tuple(pk))
 
         def body(carry, _):
-            return sbstep(ops_l, ln_l, carry, 0.0), None
+            return sbstep(ops_l, carry, 0.0), None
 
-        (out, _), _ = jax.lax.scan(body, (tuple(pk), tr0), None,
+        (out, _), _ = jax.lax.scan(body, (tuple(pk), sb0), None,
                                    length=N_MEAS)
         return out
 
-    sb_fn = jax.jit(jax.shard_map(
-        sb_roll, mesh=sb_mesh,
-        in_specs=(sb_ospec, sb_lspec) + (sb_sspec,) * 3,
-        out_specs=(sb_sspec,) * 3, check_vma=False))
-    out_sb = jax.block_until_ready(sb_fn(sb.ops, sb.lean, *packed_sb))
-    assert bool(jnp.isfinite(out_sb[0]).all()), "sharded-blocked non-finite"
-    best_sb = 1e30
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out_sb = jax.block_until_ready(sb_fn(sb.ops, sb.lean, *packed_sb))
-        best_sb = min(best_sb, time.perf_counter() - t0)
+    def sb_time(pk):
+        sb_fn = jax.jit(jax.shard_map(
+            sb_roll, mesh=sb_mesh,
+            in_specs=(sb_ospec,) + (sb_sspec,) * 3,
+            out_specs=(sb_sspec,) * 3, check_vma=False))
+        out_sb = jax.block_until_ready(sb_fn(sb.ops, *pk))
+        assert bool(jnp.isfinite(out_sb[0]).all()), "sharded non-finite"
+        best_sb = 1e30
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out_sb = jax.block_until_ready(sb_fn(sb.ops, *pk))
+            best_sb = min(best_sb, time.perf_counter() - t0)
+        return best_sb / N_MEAS
+
     extra["sharded_blocked_step_us_K2048_N3"] = round(
-        1e6 * best_sb / N_MEAS, 2)
+        1e6 * sb_time(packed_sb), 2)
+    # scenario-batched variant: the launch overhead amortizes across the
+    # kernel grid exactly like the in-kernel rollout's B=8 headline row
+    packed_sb8 = tuple(
+        jnp.broadcast_to(a, (B2,) + a.shape[1:]) for a in packed_sb)
+    extra["sharded_blocked_step_us_K2048_N3_B8_per_scen"] = round(
+        1e6 * sb_time(packed_sb8) / B2, 2)
 
     # ===== curved-dynamics batched MPC (BASELINE stretch config) =======
     from blitzdg_tpu.mesh import disk_triangles

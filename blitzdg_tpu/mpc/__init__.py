@@ -3,10 +3,11 @@ from .blocked import (
     build_blocked_mpc,
     mpc_cost_blocked,
     solve_mpc_blocked,
+    solve_mpc_blocked_gn,
 )
 from .pallas import PallasMPC, build_pallas_mpc, mpc_cost_pallas, solve_mpc_pallas
 from .problem import MPCProblem, mpc_cost, rollout_controls
-from .solver import MPCSolution, receding_horizon, solve_mpc
+from .solver import MPCSolution, receding_horizon, solve_mpc, solve_mpc_gn
 
 __all__ = [
     "MPCProblem",
@@ -14,6 +15,7 @@ __all__ = [
     "rollout_controls",
     "MPCSolution",
     "solve_mpc",
+    "solve_mpc_gn",
     "receding_horizon",
     "PallasMPC",
     "build_pallas_mpc",
@@ -23,4 +25,5 @@ __all__ = [
     "build_blocked_mpc",
     "mpc_cost_blocked",
     "solve_mpc_blocked",
+    "solve_mpc_blocked_gn",
 ]

@@ -106,6 +106,19 @@ class BlockedOps(NamedTuple):
     # REMOTE shard (delivered per stage as `ext` tensors); (1,1,1) when
     # the kernel runs unsharded (parallel/blocked_shard.py)
     EXTM: jnp.ndarray
+    # kernel-I/O lean exchange (round-5: the send gather and recv scatter
+    # live IN the kernel as one-hot matmuls, so the only XLA glue between
+    # stage launches is slice+ppermute+concat of a tiny (L, 3) buffer):
+    #  SGEM (L_s, p*NP): one-hot rows picking the VOLUME node (via fmask)
+    #        of each send slot — SG @ kron(EM) folded at setup
+    #  SL   (L_s, M): one-hot lane of each send slot
+    #  RG   (p*NT, L_r): one-hot target trace row per recv slot
+    #  RL   (L_r, M): one-hot target lane per recv slot (flip baked in)
+    # all (1, 1)-shaped placeholders when the kernel runs without lean I/O
+    SGEM: jnp.ndarray
+    SL: jnp.ndarray
+    RG: jnp.ndarray
+    RL: jnp.ndarray
 
 
 class BlockedMeta(NamedTuple):
@@ -417,6 +430,8 @@ def build_blocked_step_ops(
         HMt=to(HMt), HPt=to(HPt),
         BU=to(BU), BV=to(BV), FBU=to(FBU), FBV=to(FBV),
         EXTM=to(np.zeros((1, 1, 1))),
+        SGEM=to(np.zeros((1, 1))), SL=to(np.zeros((1, 1))),
+        RG=to(np.zeros((1, 1))), RL=to(np.zeros((1, 1))),
     )
     meta = BlockedMeta(
         n_p=n_p, n_fp=n_fp, n_faces=n_faces, k_elem=K,
@@ -835,8 +850,36 @@ def _step_values(h, hu, hv, t, ctrl, o, meta, dt, use_filter):
 _OP_FIELDS = len(BlockedOps._fields)
 
 
+def _recv_to_ext(rb, o: BlockedOps, meta: BlockedMeta):
+    """(L_r, 3) received halo values -> 3 (p, NT, M) ext tensors via the
+    one-hot recv tables: E = RG @ (rb_c ∘ RL), ONE exact (HIGHEST) MXU
+    call for all 3 fields. One-hot matmuls at HIGHEST precision are exact
+    (each output is a sum with a single nonzero term)."""
+    M = meta.M
+    tmp3 = jnp.concatenate(
+        [rb[:, c:c + 1] * o.RL for c in range(3)], axis=1)  # (L_r, 3M)
+    E = precision_dot(o.RG, tmp3, "highest")  # (p*NT, 3M)
+    E = E.reshape(meta.p, meta.NT, 3 * M)
+    return (E[:, :, :M], E[:, :, M:2 * M], E[:, :, 2 * M:])
+
+
+def _send_from_values(h2, hu2, hv2, o: BlockedOps, meta: BlockedMeta):
+    """Gather the cut-face send values straight from the packed OUTPUT
+    volume values: sb[j, c] = field_c[row_j, lane_j] with SGEM = SG @
+    kron(EM) folded at setup (the trace-extraction matmul for the send
+    slots rides along for free — no full trace emission needed).
+    Returns (L_s, 3)."""
+    M = meta.M
+    xs = jnp.concatenate([h2, hu2, hv2], axis=2)  # (p, NP, 3M)
+    G = precision_dot(o.SGEM, xs.reshape(meta.p * meta.NP, 3 * M),
+                      "highest")  # (L_s, 3M)
+    return jnp.concatenate(
+        [jnp.sum(G[:, c * M:(c + 1) * M] * o.SL, axis=1, keepdims=True)
+         for c in range(3)], axis=1)
+
+
 def _stage_kernel(meta, c_dt, t0, use_filter, emit_traces, apply_sponge,
-                  has_t, has_ctrl, *refs):
+                  has_t, has_ctrl, lean_io, *refs):
     """One RK STAGE with external '+'-trace override:
     out = base + c_dt * R(cur, ext). Used by the element-sharded driver
     (parallel/blocked_shard.py) where the halo exchange must happen
@@ -844,8 +887,18 @@ def _stage_kernel(meta, c_dt, t0, use_filter, emit_traces, apply_sponge,
 
     ``emit_traces``: also output the packed '-' traces of the OUTPUT state
     (one extra EM matmul) so the NEXT stage's halo exchange reads them
-    directly — no XLA-level unpack/gather between kernels."""
-    (bh, bhu, bhv, ch, chu, chv, eh, ehu, ehv, *rest) = refs
+    directly — no XLA-level unpack/gather between kernels.
+
+    ``lean_io``: kernel-I/O exchange mode — the ext inputs are replaced by
+    ONE compact (L_r, 3) receive buffer consumed in-kernel via the RG/RL
+    one-hot tables, and the kernel emits the (L_s, 3) SEND buffer for the
+    next exchange via SGEM/SL (no full-size EXT scatter, no trace-tensor
+    emission; the XLA glue between launches collapses to
+    slice+ppermute+concat of the tiny buffers)."""
+    if lean_io:
+        (bh, bhu, bhv, ch, chu, chv, rb, *rest) = refs
+    else:
+        (bh, bhu, bhv, ch, chu, chv, eh, ehu, ehv, *rest) = refs
     if has_t:
         t_ref, *rest = rest
     if has_ctrl:
@@ -853,12 +906,17 @@ def _stage_kernel(meta, c_dt, t0, use_filter, emit_traces, apply_sponge,
         ctrl = [ctrl_ref[0, c] for c in range(meta.n_ctrl)]
     else:
         ctrl = None
-    if emit_traces:
+    if emit_traces and not lean_io:
         *ops_list, oh, ohu, ohv, otr = rest
+    elif lean_io:
+        *ops_list, oh, ohu, ohv, osb = rest
     else:
         *ops_list, oh, ohu, ohv = rest
     o = BlockedOps(*(r[:] for r in ops_list))
-    ext = (eh[0], ehu[0], ehv[0])
+    if lean_io:
+        ext = _recv_to_ext(rb[0], o, meta)
+    else:
+        ext = (eh[0], ehu[0], ehv[0])
     tt = t_ref[0, 0] if has_t else t0
     r1, r2, r3 = _eval_rhs(ch[0], chu[0], chv[0], tt, ctrl, o, meta,
                            use_filter, ext=ext)
@@ -879,7 +937,9 @@ def _stage_kernel(meta, c_dt, t0, use_filter, emit_traces, apply_sponge,
     oh[0] = h2
     ohu[0] = hu2
     ohv[0] = hv2
-    if emit_traces:
+    if lean_io:
+        osb[0] = _send_from_values(h2, hu2, hv2, o, meta)
+    elif emit_traces:
         M = meta.M
         h2m = jnp.where(o.vmask > 0, h2, 1.0)
         otr[0] = _vmm(o.EM, jnp.concatenate(
@@ -896,6 +956,7 @@ def sw2d_stage_blocked(
     base,  # tuple of 3 (B, p, NP, M) packed fields: the axpy base state
     cur,   # tuple of 3: the stage-input state the RHS is evaluated at
     ext,   # tuple of 3: remote '+'-trace values (B, p, NT, M), EXTM slots
+           # — or None when `rb` carries the compact receive buffer
     c_dt: float,
     t0: float = 0.0,
     use_filter: bool = True,
@@ -904,6 +965,9 @@ def sw2d_stage_blocked(
     interpret: bool = False,
     t=None,  # optional (1, 1) runtime stage time (tidal forcing); else t0
     ctrl=None,  # optional (1, n_ctrl) control vector (SMEM)
+    rb=None,  # optional (B, L_r, 3) compact receive buffer: kernel-I/O
+              # lean exchange (consumed via RG/RL; the kernel then emits
+              # the (B, L_s, 3) send buffer as its 4th output)
 ):
     """out = base + c_dt * R(cur) with cut-face traces from `ext`;
     optionally also returns the packed (B, p, NT, 3M) '-' traces of out.
@@ -912,6 +976,7 @@ def sw2d_stage_blocked(
     DYNAMIC stage time delivered via SMEM (time-dependent tidal BC)."""
     B, p, NP, M = base[0].shape
     NT = meta.NT
+    lean_io = rb is not None
     vspec = pl.BlockSpec((1, p, NP, M), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
     tspec = pl.BlockSpec((1, p, NT, M), lambda i: (i, 0, 0, 0),
@@ -925,16 +990,27 @@ def sw2d_stage_blocked(
     has_ctrl = ctrl is not None
     kernel = functools.partial(_stage_kernel, meta, float(c_dt), float(t0),
                                use_filter, emit_traces, apply_sponge, has_t,
-                               has_ctrl)
+                               has_ctrl, lean_io)
     shp = jax.ShapeDtypeStruct((B, p, NP, M), base[0].dtype)
     out_specs = [vspec, vspec, vspec]
     out_shape = [shp, shp, shp]
-    if emit_traces:
-        out_specs.append(pl.BlockSpec((1, p, NT, 3 * M),
-                                      lambda i: (i, 0, 0, 0),
+    if lean_io:
+        L_s = ops.SGEM.shape[0]
+        out_specs.append(pl.BlockSpec((1, L_s, 3), lambda i: (i, 0, 0),
                                       memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((B, p, NT, 3 * M),
-                                              base[0].dtype))
+        out_shape.append(jax.ShapeDtypeStruct((B, L_s, 3), base[0].dtype))
+        ext_in = [rb]
+        ext_specs = [pl.BlockSpec((1, rb.shape[1], 3), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+    else:
+        ext_in = list(ext)
+        ext_specs = [tspec] * 3
+        if emit_traces:
+            out_specs.append(pl.BlockSpec((1, p, NT, 3 * M),
+                                          lambda i: (i, 0, 0, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((B, p, NT, 3 * M),
+                                                  base[0].dtype))
     t_in = []
     t_specs = []
     if has_t:
@@ -949,13 +1025,13 @@ def sw2d_stage_blocked(
     return pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[vspec] * 6 + [tspec] * 3 + t_specs + op_specs,
+        in_specs=[vspec] * 6 + ext_specs + t_specs + op_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
-    )(*base, *cur, *ext, *t_in, *ops)
+    )(*base, *cur, *ext_in, *t_in, *ops)
 
 
 def _step_kernel(meta, dt, t0, use_filter, has_ctrl,

@@ -63,6 +63,7 @@ from .blocked_shard import (  # noqa: E402,F401
     ShardedBlocked,
     build_sharded_blocked,
     initial_packed_traces,
+    initial_send_buffer,
     make_sharded_blocked_step,
     make_sharded_blocked_step_diff,
     make_sharded_blocked_step_fused,
@@ -72,6 +73,7 @@ __all__ += [
     "ShardedBlocked",
     "build_sharded_blocked",
     "initial_packed_traces",
+    "initial_send_buffer",
     "make_sharded_blocked_step",
     "make_sharded_blocked_step_fused",
     "make_sharded_blocked_step_diff",

