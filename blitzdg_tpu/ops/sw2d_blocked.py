@@ -1034,6 +1034,158 @@ def sw2d_stage_blocked(
     )(*base, *cur, *ext_in, *t_in, *ops)
 
 
+def _step_kernel_rdma(meta, dt, t0, use_filter, has_t, has_ctrl,
+                      offs, chunk, n_shards, axis_name, apply_sponge,
+                      *refs):
+    """ONE kernel per SSP-RK2 STEP for the element-sharded path: the
+    inter-stage halo exchange happens IN-KERNEL via remote DMA
+    (`pltpu.make_async_remote_copy` ring sends per offset), so only the
+    step-boundary exchange remains in XLA. The PARITY-identified endgame
+    of the sharded formulation (VERDICT r4 #2); prototype — B=1, no
+    wetdry."""
+    (bh, bhu, bhv, rb, *rest) = refs
+    if has_t:
+        t_ref, *rest = rest
+    if has_ctrl:
+        ctrl_ref, *rest = rest
+        ctrl = [ctrl_ref[0, c] for c in range(meta.n_ctrl)]
+    else:
+        ctrl = None
+    (*ops_list, oh, ohu, ohv, osb,
+     sb1_buf, comm_buf, send_sem, recv_sem) = rest
+    o = BlockedOps(*(r[:] for r in ops_list))
+    tt = t_ref[0, 0] if has_t else t0
+
+    # ---- stage 1: s1 = s + (dt/2) R(s, ext1) ----
+    ext1 = _recv_to_ext(rb[0], o, meta)
+    r1, r2, r3 = _eval_rhs(bh[0], bhu[0], bhv[0], tt, ctrl, o, meta,
+                           use_filter, ext=ext1)
+    h1 = bh[0] + 0.5 * dt * r1
+    hu1 = bhu[0] + 0.5 * dt * r2
+    hv1 = bhv[0] + 0.5 * dt * r3
+
+    # ---- in-kernel halo exchange of s1's cut-face values ----
+    comm_buf[:] = jnp.zeros_like(comm_buf)  # EXTM-masked anyway; keeps
+    # the no-traffic (n_off == 0) case NaN-free under interpret mode
+    sb1_buf[:] = _send_from_values(h1, hu1, hv1, o, meta)
+    if offs:
+        my = jax.lax.axis_index(axis_name)
+        rdmas = []
+        for di, d in enumerate(offs):
+            dst = jax.lax.rem(my + jnp.int32(d), jnp.int32(n_shards))
+            rdmas.append(pltpu.make_async_remote_copy(
+                src_ref=sb1_buf.at[pl.ds(di * chunk, chunk), :],
+                dst_ref=comm_buf.at[pl.ds(di * chunk, chunk), :],
+                send_sem=send_sem.at[di],
+                recv_sem=recv_sem.at[di],
+                device_id=dst,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            ))
+        for r in rdmas:
+            r.start()
+        for r in rdmas:
+            r.wait()
+
+    # ---- stage 2: s2 = s + dt R(s1, ext2) ----
+    ext2 = _recv_to_ext(comm_buf[:], o, meta)
+    tt2 = tt + 0.5 * dt
+    r1, r2, r3 = _eval_rhs(h1, hu1, hv1, tt2, ctrl, o, meta,
+                           use_filter, ext=ext2)
+    h2 = bh[0] + dt * r1
+    hu2 = bhu[0] + dt * r2
+    hv2 = bhv[0] + dt * r3
+    if apply_sponge and meta.has_sponge:
+        fac = 1.0 / (1.0 + dt * o.SPNG)
+        h2 = o.H + (h2 - o.H) * fac
+        hu2 = hu2 * fac
+        hv2 = hv2 * fac
+    oh[0] = h2
+    ohu[0] = hu2
+    ohv[0] = hv2
+    osb[0] = _send_from_values(h2, hu2, hv2, o, meta)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("meta", "dt", "t0", "use_filter", "offs",
+                              "chunk", "n_shards", "axis_name",
+                              "interpret"),
+)
+def sw2d_step_rdma_blocked(
+    ops: BlockedOps,
+    meta: BlockedMeta,
+    state,  # tuple of 3 (1, p, NP, M) packed fields
+    rb,     # (1, L_r, 3) receive buffer for stage 1 (XLA exchange)
+    dt: float,
+    offs: tuple,
+    chunk: int,
+    n_shards: int,
+    axis_name: str = "element",
+    t0: float = 0.0,
+    use_filter: bool = True,
+    t=None,
+    ctrl=None,
+    interpret=False,
+):
+    """One fused SSP-RK2 step with the INTER-STAGE halo exchanged by
+    in-kernel remote DMA. Returns (h, hu, hv, send_buffer). Use inside
+    shard_map over `axis_name`; `interpret` accepts a
+    pltpu.InterpretParams to simulate the remote DMAs on CPU devices."""
+    B, p, NP, M = state[0].shape
+    assert B == 1, "rdma prototype: one scenario per kernel"
+    if meta.wetdry:
+        raise NotImplementedError("rdma prototype does not limit stages")
+    NT = meta.NT
+    L_s = ops.SGEM.shape[0]
+    vspec = pl.BlockSpec((1, p, NP, M), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    op_specs = [
+        pl.BlockSpec(op.shape, lambda i, nd=op.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for op in ops
+    ]
+    has_t = t is not None
+    has_ctrl = ctrl is not None
+    t_in, t_specs = [], []
+    if has_t:
+        t_in = [jnp.asarray(t, dtype=state[0].dtype).reshape(1, 1)]
+        t_specs = [pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)]
+    if has_ctrl:
+        t_in.append(jnp.asarray(ctrl, dtype=state[0].dtype
+                                ).reshape(1, meta.n_ctrl))
+        t_specs.append(pl.BlockSpec((1, meta.n_ctrl), lambda i: (0, 0),
+                                    memory_space=pltpu.SMEM))
+    kernel = functools.partial(
+        _step_kernel_rdma, meta, float(dt), float(t0), use_filter, has_t,
+        has_ctrl, tuple(offs), int(chunk), int(n_shards), axis_name, True)
+    shp = jax.ShapeDtypeStruct((B, p, NP, M), state[0].dtype)
+    n_sem = max(len(offs), 1)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[vspec] * 3
+        + [pl.BlockSpec((1, rb.shape[1], 3), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)]
+        + t_specs + op_specs,
+        out_specs=(vspec, vspec, vspec,
+                   pl.BlockSpec((1, L_s, 3), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(shp, shp, shp,
+                   jax.ShapeDtypeStruct((B, L_s, 3), state[0].dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((L_s, 3), state[0].dtype),
+            pltpu.VMEM((rb.shape[1], 3), state[0].dtype),
+            pltpu.SemaphoreType.DMA((n_sem,)),
+            pltpu.SemaphoreType.DMA((n_sem,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+            has_side_effects=True,
+            collective_id=0),
+        interpret=interpret,
+    )(*state, rb, *t_in, *ops)
+
+
 def _step_kernel(meta, dt, t0, use_filter, has_ctrl,
                  h_ref, hu_ref, hv_ref, *refs):
     if has_ctrl:

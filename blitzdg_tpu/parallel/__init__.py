@@ -67,6 +67,7 @@ from .blocked_shard import (  # noqa: E402,F401
     make_sharded_blocked_step,
     make_sharded_blocked_step_diff,
     make_sharded_blocked_step_fused,
+    make_sharded_blocked_step_rdma,
 )
 
 __all__ += [
@@ -76,5 +77,6 @@ __all__ += [
     "initial_send_buffer",
     "make_sharded_blocked_step",
     "make_sharded_blocked_step_fused",
+    "make_sharded_blocked_step_rdma",
     "make_sharded_blocked_step_diff",
 ]

@@ -538,6 +538,54 @@ def make_sharded_blocked_step_fused(sb: ShardedBlocked, dt: float,
     return step
 
 
+def make_sharded_blocked_step_rdma(sb: ShardedBlocked, dt: float,
+                                   axis_name: str = "element",
+                                   use_filter: bool = True,
+                                   interpret=False):
+    """ENDGAME prototype (VERDICT r4 #2): ONE kernel launch per SSP-RK2
+    step — the inter-stage halo exchange rides in-kernel remote DMA
+    (`pltpu.make_async_remote_copy` per ring offset, symmetric SPMD sends
+    with send/recv semaphores), so only the step-boundary exchange stays
+    in XLA (slice + ppermute + concat, as in the fused path). Halves both
+    the launch count and the XLA exchange count per step.
+
+    ``interpret``: pass `pltpu.InterpretParams()` to simulate the remote
+    DMAs/semaphores on the virtual CPU mesh (plain True has no remote-DMA
+    support) — that is how tests/test_parallel.py proves 1e-12 parity.
+    Prototype scope: B=1, no wetdry. Same carry contract as the fused
+    step."""
+    from ..ops.sw2d_blocked import sw2d_step_rdma_blocked
+    from . import halo as halo_mod
+
+    meta, plan = sb.meta, sb.plan
+    n = plan.n_shards
+    n_off = len(plan.offs)
+    chunk = plan.max_send * meta.n_fp
+
+    def exchange(sbuf):
+        if n_off == 0:
+            return jnp.zeros_like(sbuf)
+        outs = []
+        for di, d in enumerate(plan.offs):
+            buf = sbuf[:, di * chunk:(di + 1) * chunk, :]
+            outs.append(halo_mod._ppermute(
+                buf, axis_name, [(j, (j + d) % n) for j in range(n)]))
+        return jnp.concatenate(outs, axis=1)
+
+    def step(local_ops: BlockedOps, carry, t, ctrl=None):
+        packed, sbuf = carry
+        o = jax.tree.map(lambda a: a[0], local_ops)
+        t1 = t if meta.tidal is not None else None
+        rb1 = exchange(sbuf)
+        *s2, sb2 = sw2d_step_rdma_blocked(
+            o, meta, packed, rb1, dt, plan.offs, chunk, n,
+            axis_name=axis_name, use_filter=use_filter, t=t1, ctrl=ctrl,
+            interpret=interpret)
+        return (tuple(s2), sb2)
+
+    return step
+
+
 def make_sharded_blocked_step_diff(sb: ShardedBlocked, dt: float,
                                    axis_name: str = "element",
                                    use_filter: bool = True,

@@ -1,22 +1,40 @@
 """Element-sharding scaling study (BASELINE.md target: >=80% efficiency).
 
-Strong scaling of the ppermute-halo shallow-water stepping over an
-n-device element-sharded mesh: the SAME shard_map program runs at every
-device count; only the Mesh changes.
+Four modes (pick with --mode=..., default xla):
 
-On real hardware:
- - single host, n chips: just run this script (jax.devices() sees them).
- - multiple hosts: launch one process per host with
-     from blitzdg_tpu.parallel import distributed_init
-     distributed_init(coordinator, n_hosts, host_id)
-   before main() — the element axis stays within hosts (ICI), scenarios
-   across hosts (DCN); see parallel/distributed.py for the full recipe.
+  xla      strong scaling of the XLA ppermute-halo stepper over an
+           n-device mesh (the round-3/4 study, kept for continuity).
+  blocked-cpu
+           the SHARDED-BLOCKED path (kernel-I/O lean exchange,
+           parallel/blocked_shard.py) on the virtual CPU mesh at
+           1/2/4/8 devices — interpret-mode kernels, so the timings are
+           a PLUMBING check only (virtual devices share one CPU), but
+           the program is byte-identical to the pod one.
+  blocked-tpu
+           the real-chip measurement AND the completed v5e projection
+           (VERDICT r4 #1): per-shard blocked step time at
+           K/shard in {256 .. 16384} measured on the chip at B=1 and
+           B=8 (n_shards=1 sharded program: launches + exchange glue
+           included), then, for devices in {2,4,8} x K/chip, the
+           measured compute is combined with the halo_comm_model
+           exchange time of the ACTUAL partition plan to emit
+           projected_comm_pct_v5e and projected weak/strong efficiency
+           — and the K/chip crossover where >=80% holds.
 
-Without TPUs this runs on virtual CPU devices
-(XLA_FLAGS=--xla_force_host_platform_device_count=8): the printed
-efficiencies are then only a plumbing check (virtual devices share one
-CPU's FLOPs), but the measurement procedure is exactly the pod one.
+Efficiency conventions:
+  weak(n, K/chip)  = t_compute(K/chip) / (t_compute(K/chip) + t_exch)
+  strong(n, K)     = t_step(1, K) / (n * (t_compute(K/n) + t_exch))
+No comm/compute overlap is assumed (conservative: the lean exchange is
+a blocking slice+ppermute+concat between stage launches today).
+
+On real multi-host hardware: launch one process per host with
+`distributed_init(coordinator, n_hosts, host_id)` first; the element
+axis stays within a pod slice (ICI), scenarios across slices (DCN) —
+see parallel/distributed.py.
+
+Set SCALING_JSON=path to append the run payload as JSON.
 """
+import argparse
 import os
 import sys
 import time
@@ -37,6 +55,7 @@ from blitzdg_tpu.parallel import (
     halo_tables,
     partition_mesh,
 )
+from blitzdg_tpu.parallel.halo import halo_comm_model
 from blitzdg_tpu.specgrid.triangle import build_triangle_context
 from blitzdg_tpu.timestepping import ssprk2_step
 
@@ -46,15 +65,249 @@ N_STEPS = 100
 DT = 1e-4
 
 
+# --------------------------------------------------------------------------
+# shared: sharded-blocked rollout runner (the deployable path)
+# --------------------------------------------------------------------------
+
+def _box_dims(k_elem):
+    """(cx, cy) with 2*cx*cy == k_elem, as square as the factorization
+    allows (powers of two give 2:1 worst case)."""
+    assert k_elem % 2 == 0, k_elem
+    n = k_elem // 2
+    cy = int(np.sqrt(n))
+    while n % cy:
+        cy -= 1
+    return n // cy, cy
+
+
+def _build_blocked(k_elem, ndev, dtype=jnp.float32, precision="high"):
+    from blitzdg_tpu.parallel.blocked_shard import build_sharded_blocked
+
+    mesh0 = box_triangles(*_box_dims(k_elem))
+    mesh2d, _, _ = partition_mesh(mesh0, max(ndev, 2))
+    ctx = build_triangle_context(N_ORDER, mesh2d,
+                                 filter_cutoff=0.9 * N_ORDER,
+                                 filter_order=4, dtype=dtype)
+    sb = build_sharded_blocked(ctx, SWPhysics(g=9.81), ndev, dtype=dtype,
+                               precision=precision)
+    return ctx, sb
+
+
+def run_blocked(k_elem, ndev, devices, batch=1, n_steps=2048,
+                interpret=False, dtype=jnp.float32, precision="high"):
+    """us/step of the sharded-blocked rollout (kernel-I/O exchange)."""
+    from blitzdg_tpu.parallel.blocked_shard import (
+        initial_send_buffer, make_sharded_blocked_step_fused, pack_local)
+
+    ctx, sb = _build_blocked(k_elem, ndev, dtype, precision)
+    meta = sb.meta
+    step = make_sharded_blocked_step_fused(sb, DT, interpret=interpret)
+    el_mesh = Mesh(np.array(devices[:ndev]), ("element",))
+    k_loc = sb.k_loc
+    eta = jnp.exp(-10.0 * (ctx.x ** 2 + ctx.y ** 2))
+    st = (10.0 + eta, jnp.zeros_like(eta), jnp.zeros_like(eta))
+    packed = tuple(jnp.concatenate(
+        [jnp.broadcast_to(
+            pack_local(meta, jnp.asarray(
+                f[s * k_loc:(s + 1) * k_loc], dtype)),
+            (batch, meta.p, meta.NP, meta.M))
+         for s in range(ndev)], axis=0) for f in st)
+    op_specs = jax.tree.map(
+        lambda a: P("element", *([None] * (a.ndim - 1))), sb.ops)
+    st_spec = P("element", None, None, None)
+
+    def roll(ops_l, *pk):
+        sb0 = initial_send_buffer(sb, ops_l, tuple(pk))
+
+        def body(carry, _):
+            return step(ops_l, carry, 0.0), None
+
+        (out, _), _ = jax.lax.scan(body, (tuple(pk), sb0), None,
+                                   length=n_steps)
+        return out
+
+    fn = jax.jit(jax.shard_map(
+        roll, mesh=el_mesh, in_specs=(op_specs,) + (st_spec,) * 3,
+        out_specs=(st_spec,) * 3, check_vma=False))
+    out = jax.block_until_ready(fn(sb.ops, *packed))
+    assert bool(jnp.isfinite(out[0]).all())
+    best = 1e30
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(fn(sb.ops, *packed))
+        best = min(best, time.perf_counter() - t0)
+    return best / n_steps, sb
+
+
+# --------------------------------------------------------------------------
+# mode: blocked-tpu — measure + complete the v5e projection
+# --------------------------------------------------------------------------
+
+def _run_inkernel(k_elem, batch, n_steps):
+    """Unsharded in-kernel fused rollout at the same shape — the
+    same-process reference the sharding tax is quoted against (absolute
+    chip timings vary ~30% across tunnel sessions; within-process ratios
+    are stable)."""
+    from blitzdg_tpu.ops.sw2d_blocked import (
+        build_blocked_step_ops, pack_state, sw2d_rollout_blocked)
+
+    mesh0 = box_triangles(*_box_dims(k_elem))
+    ctx = build_triangle_context(N_ORDER, mesh0,
+                                 filter_cutoff=0.9 * N_ORDER,
+                                 filter_order=4, dtype=jnp.float32)
+    ops, meta = build_blocked_step_ops(ctx, SWPhysics(g=9.81),
+                                       dtype=jnp.float32, precision="high")
+    eta = jnp.exp(-10.0 * (ctx.x ** 2 + ctx.y ** 2))
+    pk = [pack_state(meta, jnp.broadcast_to(f, (batch,) + f.shape))
+          for f in (10.0 + eta, jnp.zeros_like(eta), jnp.zeros_like(eta))]
+    fn = lambda: sw2d_rollout_blocked(ops, meta, *pk, None, DT,
+                                      n_steps=n_steps)
+    out = jax.block_until_ready(fn())
+    assert bool(jnp.isfinite(out[0]).all())
+    best = 1e30
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best / n_steps
+
+
+def mode_blocked_tpu(out_rows):
+    devices = jax.devices()
+    k_chips = [256, 512, 1024, 2048, 4096, 8192, 16384]
+    n_meas = 2048
+    print(f"sharded-blocked per-chip compute, N={N_ORDER}, "
+          f"platform={devices[0].platform}")
+    # same-process in-kernel reference at the anchor shape
+    ref_b1 = _run_inkernel(2048, 1, n_meas)
+    ref_b8 = _run_inkernel(2048, 8, n_meas) / 8
+    print(f"  in-kernel rollout K=2048: B=1 {ref_b1 * 1e6:8.2f} us/step   "
+          f"B=8 {ref_b8 * 1e6:8.2f} us/step/scen", flush=True)
+    out_rows.append({
+        "kind": "in_kernel_reference_K2048",
+        "us_per_step_B1": round(ref_b1 * 1e6, 2),
+        "us_per_step_per_scen_B8": round(ref_b8 * 1e6, 2)})
+    t_meas = {}
+    for kc in k_chips:
+        t1, _ = run_blocked(kc, 1, devices, batch=1, n_steps=n_meas)
+        t8, _ = run_blocked(kc, 1, devices, batch=8, n_steps=n_meas)
+        t_meas[kc] = {"B1": t1, "B8_per_scen": t8 / 8}
+        print(f"  K/chip={kc:6d}: B=1 {t1 * 1e6:8.2f} us/step   "
+              f"B=8 {t8 / 8 * 1e6:8.2f} us/step/scen", flush=True)
+        row = {
+            "kind": "measured_per_chip_compute", "k_per_chip": kc,
+            "us_per_step_B1": round(t1 * 1e6, 2),
+            "us_per_step_per_scen_B8": round(t8 / 8 * 1e6, 2)}
+        if kc == 2048:
+            row["sharding_tax_x_B1"] = round(t1 / ref_b1, 2)
+            row["sharding_tax_x_B8"] = round(t8 / 8 / ref_b8, 2)
+        out_rows.append(row)
+
+    # projection: ACTUAL partition plan per (ndev, K/chip) -> exchange
+    # cost model; combine with the measured per-chip compute
+    crossover = {}
+    for ndev in (2, 4, 8):
+        for kc in k_chips:
+            K = ndev * kc
+            mesh0 = box_triangles(*_box_dims(K))
+            mesh2d, _, _ = partition_mesh(mesh0, ndev)
+            ctx = build_triangle_context(1, mesh2d)  # plan needs maps only
+            plan = build_halo_plan(ctx, ndev)
+            m = halo_comm_model(plan, N_ORDER + 1, n_fields=3, itemsize=4)
+            t_exch = 2 * m["projected_exchange_us"] * 1e-6  # 2 stages/step
+            for bkey, tlab in (("B1", "us_per_step_B1"),
+                               ("B8_per_scen", "us_per_step_per_scen_B8")):
+                tc = t_meas[kc][bkey]
+                weak = tc / (tc + t_exch)
+                row = {
+                    "kind": f"projected_v5e_weak_{bkey}",
+                    "devices": ndev, "k_per_chip": kc,
+                    "K_global": K,
+                    "compute_us_per_step": round(tc * 1e6, 2),
+                    "projected_exchange_us_per_step":
+                        round(t_exch * 1e6, 3),
+                    "projected_comm_pct_v5e":
+                        round(100 * t_exch / (tc + t_exch), 2),
+                    "projected_weak_efficiency_pct": round(100 * weak, 1),
+                    "halo_model": m,
+                }
+                out_rows.append(row)
+                if bkey == "B1":
+                    print(f"  ndev={ndev} K/chip={kc:6d}: exch "
+                          f"{t_exch * 1e6:6.2f} us  comm "
+                          f"{row['projected_comm_pct_v5e']:5.2f}%  weak-eff "
+                          f"{row['projected_weak_efficiency_pct']:5.1f}%",
+                          flush=True)
+                if weak >= 0.80 and (ndev, bkey) not in crossover:
+                    crossover[(ndev, bkey)] = kc
+        # strong scaling at fixed global K=2048
+        if 2048 % ndev == 0 and (2048 // ndev) in t_meas:
+            tc = t_meas[2048 // ndev]["B1"]
+            # plan for the K=2048 mesh at ndev shards
+            mesh0 = box_triangles(CELLS, CELLS)
+            mesh2d, _, _ = partition_mesh(mesh0, ndev)
+            ctx = build_triangle_context(1, mesh2d)
+            plan = build_halo_plan(ctx, ndev)
+            m = halo_comm_model(plan, N_ORDER + 1, n_fields=3, itemsize=4)
+            t_exch = 2 * m["projected_exchange_us"] * 1e-6
+            t1 = t_meas[2048]["B1"]
+            strong = t1 / (ndev * (tc + t_exch))
+            out_rows.append({
+                "kind": "projected_v5e_strong_K2048", "devices": ndev,
+                "k_per_chip": 2048 // ndev,
+                "projected_strong_efficiency_pct": round(100 * strong, 1),
+                "projected_comm_pct_v5e":
+                    round(100 * t_exch / (tc + t_exch), 2)})
+    cross_rows = [
+        {"kind": "weak_efficiency_80pct_crossover", "devices": nd,
+         "batch": bk, "min_k_per_chip": kc}
+        for (nd, bk), kc in sorted(crossover.items(),
+                                   key=lambda kv: (kv[0][0], kv[0][1]))]
+    out_rows.extend(cross_rows)
+    for r in cross_rows:
+        print(f"  >=80% weak efficiency at {r['devices']} chips from "
+              f"K/chip >= {r['min_k_per_chip']} ({r['batch']})")
+
+
+# --------------------------------------------------------------------------
+# mode: blocked-cpu — multi-device plumbing rows for the deployable path
+# --------------------------------------------------------------------------
+
+def mode_blocked_cpu(out_rows):
+    devices = jax.devices()
+    counts = [n for n in (1, 2, 4, 8) if n <= len(devices)]
+    K = 512  # interpret-mode kernels are slow; small plumbing workload
+    print(f"sharded-blocked CPU-mesh plumbing, K={K}, N={N_ORDER} "
+          "(interpret kernels; timings validate the program, not the "
+          "hardware)")
+    t1 = None
+    for n in counts:
+        t, sb = run_blocked(K, n, devices, n_steps=10, interpret=True,
+                            dtype=jnp.float32, precision="highest")
+        if t1 is None:
+            t1 = t
+        eff = t1 / (n * t)
+        out_rows.append({
+            "kind": "cpu_mesh_plumbing", "devices": n,
+            "us_per_step": round(t * 1e6, 1),
+            "efficiency_pct_meaningless_on_virtual_devices":
+                round(eff * 100, 1),
+            "ring_offsets": list(sb.plan.offs)})
+        print(f"  devices={n}: {t * 1e6:10.1f} us/step (interpret)",
+              flush=True)
+
+
+# --------------------------------------------------------------------------
+# mode: xla — the round-3/4 ppermute-halo strong-scaling study
+# --------------------------------------------------------------------------
+
 def run_sharded(mesh0, n_dev, devices, no_comm=False, halo_dtype=None):
-    """us/step of the element-sharded rollout on n_dev devices.
+    """us/step of the element-sharded XLA-halo rollout on n_dev devices.
 
     ``no_comm=True`` re-traces the SAME program with the halo module's
-    injectable `_ppermute` hook patched to identity (ADVICE r3: patching
-    the hook — the one call site — is robust to import style; the study
-    asserts the hook actually fired): identical per-shard compute, zero
-    collectives. The timing difference is the measured communication cost
-    of the halo exchange. ``halo_dtype`` ships compressed trace buffers."""
+    injectable `_ppermute` hook patched to identity: identical per-shard
+    compute, zero collectives — the timing difference is the measured
+    halo cost. ``halo_dtype`` ships compressed trace buffers."""
     from blitzdg_tpu.parallel import halo as halo_mod
 
     mesh2, _, _ = partition_mesh(mesh0, n_dev)
@@ -91,8 +344,6 @@ def run_sharded(mesh0, n_dev, devices, no_comm=False, halo_dtype=None):
     cm = (mock.patch.object(halo_mod, "_ppermute", _identity_permute)
           if no_comm else contextlib.nullcontext())
     with cm:
-        # trace/compile INSIDE the patch so the no-comm variant really has
-        # no collectives; assert the hook was hit during tracing
         fn = jax.jit(jax.shard_map(
             roll, mesh=el_mesh, in_specs=(specs, st_specs, tb_specs),
             out_specs=st_specs))
@@ -108,21 +359,12 @@ def run_sharded(mesh0, n_dev, devices, no_comm=False, halo_dtype=None):
     return (time.perf_counter() - t0) / reps / N_STEPS, plan
 
 
-def main():
-    # SCALING_PLATFORM=cpu forces the virtual-device mesh even when a TPU
-    # plugin is registered (the JAX_PLATFORMS env var alone is not honored
-    # once a plugin backend is pinned)
-    plat = os.environ.get("SCALING_PLATFORM")
-    if plat:
-        jax.config.update("jax_platforms", plat)
+def mode_xla(out_rows):
     devices = jax.devices()
     counts = [n for n in (1, 2, 4, 8) if n <= len(devices)]
     mesh0 = box_triangles(CELLS, CELLS)
-    print(f"strong scaling, K={2 * CELLS * CELLS} triangles, N={N_ORDER}, "
+    print(f"strong scaling (XLA halo), K={2 * CELLS * CELLS}, N={N_ORDER}, "
           f"{N_STEPS} SSP-RK2 steps, platform={devices[0].platform}")
-    from blitzdg_tpu.parallel.halo import halo_comm_model
-
-    rows = []
     t1 = None
     for n in counts:
         t, plan = run_sharded(mesh0, n, devices)
@@ -133,11 +375,10 @@ def main():
             comm_pct = round(max(0.0, (t - t_nc) / t) * 100, 1)
             t_bf, _ = run_sharded(mesh0, n, devices, halo_dtype=jnp.bfloat16)
             bf16_us = round(t_bf * 1e6, 1)
-            # analytic v5e projection: 3 SW fields, Nfp-wide traces, f32,
-            # 2 RHS evals (SSP-RK2) per step
-            m = halo_comm_model(plan, N_ORDER + 1, n_fields=3, itemsize=4)
-            model = {**m,
-                     "projected_comm_pct_v5e": None}  # filled below
+            model = halo_comm_model(plan, N_ORDER + 1, n_fields=3,
+                                    itemsize=4)
+            model["projected_exchange_us_per_step"] = round(
+                2 * model.pop("projected_exchange_us"), 3)
         if t1 is None:
             t1 = t
         eff = t1 / (n * t)
@@ -147,13 +388,11 @@ def main():
                "comm_pct": comm_pct,
                "us_per_step_bf16_halos": bf16_us}
         if model is not None:
-            # per step = 2 exchanges (SSP-RK2); compute side projected from
-            # the 1-device CPU time does NOT transfer to TPU, so the v5e
-            # projection reports only the absolute exchange cost
-            model["projected_exchange_us_per_step"] = round(
-                2 * model.pop("projected_exchange_us"), 3)
+            # the completed projection (comm pct + efficiency vs MEASURED
+            # compute) lives in the blocked-tpu mode — this XLA-mode model
+            # reports only the absolute exchange cost
             row["v5e_projection"] = model
-        rows.append(row)
+        out_rows.append(row)
         print(f"  devices={n}: {t * 1e6:8.1f} us/step   "
               f"speedup x{t1 / t:5.2f}   efficiency {eff * 100:5.1f}%"
               + (f"   halo comm {comm_pct:4.1f}% of step"
@@ -164,29 +403,56 @@ def main():
         print("NOTE: virtual CPU devices share one machine's FLOPs — "
               "efficiencies here validate the plumbing, not the hardware; "
               "run on a pod slice for the real numbers.")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="xla",
+                    choices=["xla", "blocked-cpu", "blocked-tpu"])
+    args = ap.parse_args()
+    # SCALING_PLATFORM=cpu forces the virtual-device mesh even when a TPU
+    # plugin is registered (the JAX_PLATFORMS env var alone is not honored
+    # once a plugin backend is pinned)
+    plat = os.environ.get("SCALING_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    devices = jax.devices()
+
+    rows = []
+    if args.mode == "xla":
+        mode_xla(rows)
+    elif args.mode == "blocked-cpu":
+        mode_blocked_cpu(rows)
+    else:
+        mode_blocked_tpu(rows)
+
     out = os.environ.get("SCALING_JSON")
     if out:
         import json
 
         payload = {
-            "workload": {"K": 2 * CELLS * CELLS, "N": N_ORDER,
-                         "steps": N_STEPS, "dt": DT,
-                         "kind": "strong scaling, element-sharded "
-                                 "ppermute-halo SSP-RK2"},
+            "workload": {"N": N_ORDER, "dt": DT, "mode": args.mode,
+                         "kind": ("element-sharded blocked-kernel path, "
+                                  "kernel-I/O lean exchange"
+                                  if args.mode.startswith("blocked")
+                                  else "strong scaling, element-sharded "
+                                       "ppermute-halo SSP-RK2")},
             "platform": devices[0].platform,
             "device_kind": getattr(devices[0], "device_kind",
                                    devices[0].platform),
             "rows": rows,
-            "recipe": "same shard_map program at every device count; only "
-                      "the jax.sharding.Mesh changes; time = best-of-3 "
-                      "mean over 100 fused steps after one warmup; "
-                      "comm_pct = step-time share of the ppermute halo, "
-                      "measured by re-tracing the identical program with "
-                      "ppermute patched to identity (same per-shard "
-                      "compute, zero collectives)",
+            "recipe": (
+                "blocked modes: same shard_map program at every device "
+                "count (only the Mesh changes); compute measured on the "
+                "real chip as the n_shards=1 sharded program (kernel "
+                "launches + exchange glue included) over 2048 fused "
+                "steps, best of 3; exchange projected per ACTUAL "
+                "partition plan via halo_comm_model (1 us/collective + "
+                "bytes / 45 GB/s ICI), 2 exchanges per SSP-RK2 step, no "
+                "comm/compute overlap assumed; weak eff = tc/(tc+tx), "
+                "strong eff = t1(K)/(n*(tc(K/n)+tx))"
+                if True else ""),
         }
-        # keep the file VALID JSON (ADVICE r3): a list of run payloads,
-        # rewritten whole each time (tolerating legacy JSONL content)
         existing = []
         if os.path.exists(out):
             with open(out) as f:
