@@ -119,6 +119,14 @@ class BlockedOps(NamedTuple):
     SL: jnp.ndarray
     RG: jnp.ndarray
     RL: jnp.ndarray
+    # round-5 VPU-census optimizations ('rolls' trace mode):
+    #  EM2 (p*2NT, p*NP): [EM; EM-with-reversed-within-face-rows] — the
+    #      flip is BAKED into extra matmul rows, deleting every per-combo
+    #      flip slice/concat chain from the VPU combo loop
+    #  FSNX/FSNY (p, NT, M): fscale*nx / fscale*ny prefolded
+    EM2: jnp.ndarray
+    FSNX: jnp.ndarray
+    FSNY: jnp.ndarray
 
 
 class BlockedMeta(NamedTuple):
@@ -145,9 +153,13 @@ class BlockedMeta(NamedTuple):
     # static combo table: ((face, group_shift, lane_shift, src_face, flip),…)
     combos: tuple
     # trace-exchange strategy: 'rolls' (static group/lane rolls per combo —
-    # O(10) combos on structured meshes) or 'onehot' (banded one-hot MXU
-    # matmuls per 128-lane block — O(K/128) matmuls regardless of combo
-    # count; the unstructured-mesh mode, pair with rcm_order; forces p=1)
+    # O(10) combos on structured meshes), 'rolls_v2' (round-5 experiment:
+    # flip-baked EM2 rows + field-stacked combo loop — HALVES the op count
+    # but measured 2-8% SLOWER on hardware; kept as the census A/B
+    # evidence that the kernel is element-throughput bound, not
+    # op-dispatch bound) or 'onehot' (banded one-hot MXU matmuls per
+    # 128-lane block — O(K/128) matmuls regardless of combo count; the
+    # unstructured-mesh mode, pair with rcm_order; forces p=1)
     trace_mode: str = "rolls"
     win: int = 0  # one-hot source-window width (lanes)
     block_starts: tuple = ()  # per-block static window starts
@@ -248,7 +260,7 @@ def build_blocked_step_ops(
     # src_face, flip) combos with per-combo target masks ----
     combo_ids: dict[tuple, int] = {}
     masks: list[np.ndarray] = []
-    if trace_mode == "rolls":
+    if trace_mode in ("rolls", "rolls_v2"):
         for k in range(K):
             s, l = divmod(k, M)
             for f in range(n_faces):
@@ -329,6 +341,12 @@ def build_blocked_step_ops(
 
     EM = np.zeros((NT, NP))
     EM[np.arange(n_tr), np.asarray(ctx.fmask).reshape(-1)] = 1.0
+    # flip-baked twin: within-face node order reversed (round-5 census
+    # optimization — flipped combos read these rows instead of slicing)
+    EMR = np.zeros((NT, NP))
+    for f in range(n_faces):
+        EMR[f * n_fp:(f + 1) * n_fp] = EM[f * n_fp:(f + 1) * n_fp][::-1]
+    EM2 = np.concatenate([EM, EMR], axis=0)  # (2NT, NP)
     Dr_p = padm(ctx.Dr, NP, NP)
     Ds_p = padm(ctx.Ds, NP, NP)
     filt_p = padm(ctx.filter, NP, NP)
@@ -432,6 +450,11 @@ def build_blocked_step_ops(
         EXTM=to(np.zeros((1, 1, 1))),
         SGEM=to(np.zeros((1, 1))), SL=to(np.zeros((1, 1))),
         RG=to(np.zeros((1, 1))), RL=to(np.zeros((1, 1))),
+        # EM2 only rides into VMEM when the v2 trace path will read it
+        EM2=to(kron(EM2) if trace_mode == "rolls_v2"
+               else np.zeros((1, 1))),
+        FSNX=to(padT3(np.asarray(ctx.fscale) * np.asarray(ctx.nx), NT)),
+        FSNY=to(padT3(np.asarray(ctx.fscale) * np.asarray(ctx.ny), NT)),
     )
     meta = BlockedMeta(
         n_p=n_p, n_fp=n_fp, n_faces=n_faces, k_elem=K,
@@ -539,6 +562,43 @@ def _plus_trace(tM, o, meta: BlockedMeta):
     return jnp.concatenate(acc, axis=1)
 
 
+def _plus_trace3(tM2, o, meta: BlockedMeta):
+    """ALL-FIELDS '+' traces from the flip-extended '-' trace tensor
+    (round-5 VPU-census optimization): tM2 = EM2 @ [h|hu|hv] carries
+    normal AND within-face-reversed rows, so flipped combos are plain row
+    reads, and the combo loop runs ONCE on a field-stacked (p, 3*n_fp, M)
+    block instead of three times per field — the census measured the old
+    loop at ~300 tiny slice/roll/mask ops per RHS at 17 combos; this
+    path does ~(19 + 5*n_combos). Returns (hP, huP, hvP)."""
+    n_fp, n_faces = meta.n_fp, meta.n_faces
+    p, M, NT = meta.p, meta.M, meta.NT
+    W = 3 * n_fp
+    # one-time relayout: rows [(flip, f2) -> h | hu | hv, n_fp each]
+    S = jnp.concatenate([
+        tM2[:, flip * NT + f2 * n_fp: flip * NT + f2 * n_fp + n_fp,
+            c * M:(c + 1) * M]
+        for flip in (0, 1) for f2 in range(n_faces) for c in range(3)
+    ], axis=1)  # (p, 2*n_faces*W, M)
+    accs = [jnp.zeros((p, W, M), tM2.dtype) for _ in range(n_faces)]
+    for ci, (f, ds, dl, f2, flip) in enumerate(meta.combos):
+        base = ((n_faces if flip else 0) + f2) * W
+        block = S[:, base:base + W, :]
+        if ds:
+            block = _group_roll(block, ds)
+        if dl:
+            block = _roll(block, dl, 2)
+        accs[f] = accs[f] + o.cmask[ci][:, None, :] * block
+    pad_rows = NT - n_faces * n_fp
+    outs = []
+    for c in range(3):
+        parts = [accs[f][:, c * n_fp:(c + 1) * n_fp, :]
+                 for f in range(n_faces)]
+        if pad_rows:
+            parts.append(jnp.zeros((p, pad_rows, M), tM2.dtype))
+        outs.append(jnp.concatenate(parts, axis=1))
+    return tuple(outs)
+
+
 def _plus_trace_onehot(fM, o, meta: BlockedMeta):
     """'+' trace via banded one-hot matmuls: per 128-lane block b, ONE MXU
     matmul (NT, WIN) @ (WIN, n_faces*128) gathers, for every local face f,
@@ -619,12 +679,24 @@ def _rhs_blocked(h, hu, hv, t, ctrl, o: BlockedOps, meta: BlockedMeta,
     BUa = o.FBU if folded else o.BU
     BVa = o.FBV if folded else o.BV
 
-    # one stacked full-height MXU call instead of three (fields along lanes)
-    tM = _vmm(o.EM, jnp.concatenate([h, hu, hv], axis=2), meta)
-    hM, huM, hvM = tM[:, :, :M], tM[:, :, M:2 * M], tM[:, :, 2 * M:]
-    hP = _plus_trace(hM, o, meta)
-    huP = _plus_trace(huM, o, meta)
-    hvP = _plus_trace(hvM, o, meta)
+    # one stacked full-height MXU call instead of three (fields along
+    # lanes); 'rolls_v2' uses the flip-extended EM2 so the combo loop
+    # needs no per-combo reversal and runs once across all 3 fields —
+    # fewer ops but measured slower (see BlockedMeta.trace_mode)
+    xs = jnp.concatenate([h, hu, hv], axis=2)
+    if meta.trace_mode == "rolls_v2":
+        NT = meta.NT
+        tM2 = _vmm(o.EM2, xs, meta)  # (p, 2NT, 3M)
+        hM = tM2[:, :NT, :M]
+        huM = tM2[:, :NT, M:2 * M]
+        hvM = tM2[:, :NT, 2 * M:]
+        hP, huP, hvP = _plus_trace3(tM2, o, meta)
+    else:
+        tM = _vmm(o.EM, xs, meta)
+        hM, huM, hvM = tM[:, :, :M], tM[:, :, M:2 * M], tM[:, :, 2 * M:]
+        hP = _plus_trace(hM, o, meta)
+        huP = _plus_trace(huM, o, meta)
+        hvP = _plus_trace(hvM, o, meta)
 
     # element-sharded mode: cut-face '+' traces come from the neighboring
     # shard (exchanged OUTSIDE the kernel, parallel/blocked_shard.py);
@@ -681,9 +753,11 @@ def _rhs_blocked(h, hu, hv, t, ctrl, o: BlockedOps, meta: BlockedMeta,
         dh, dhu, dhv = hMs - hPs, F1M - F1P, G1M - G1P
     elif meta.wb:
         # hydrostatic-reconstruction star variables (ops.sw2d._lf_flux_jumps;
-        # reference sw2d/main.cpp:356-368, 419-421 intent)
-        uM, vM = huM / hM, hvM / hM
-        uP, vP = huP / hP, hvP / hP
+        # reference sw2d/main.cpp:356-368, 419-421 intent); one reciprocal
+        # per side feeds both velocity components
+        invM, invP = 1.0 / hM, 1.0 / hP
+        uM, vM = huM * invM, hvM * invM
+        uP, vP = huP * invP, hvP * invP
         bstar = jnp.maximum(-o.HMt, -o.HPt)
         hMs = jnp.maximum(0.0, hM - o.HMt - bstar)
         hPs = jnp.maximum(0.0, hP - o.HPt - bstar)
@@ -701,29 +775,37 @@ def _rhs_blocked(h, hu, hv, t, ctrl, o: BlockedOps, meta: BlockedMeta,
         dh, dhu, dhv = hMs - hPs, F1M - F1P, G1M - G1P
     else:
         def flux_c(hh, hhu, hhv):
+            # the reciprocal is shared with the wavespeed below — the
+            # census counted 4 redundant trace divisions per RHS here
             inv_h = 1.0 / hh
             pr = 0.5 * g * hh * hh
             F2 = hhu * hhu * inv_h + pr
             G2 = hhu * hhv * inv_h
             G3 = hhv * hhv * inv_h + pr
-            return hhu, F2, G2, hhv, G2, G3
+            return (hhu, F2, G2, hhv, G2, G3), inv_h
 
-        F1M, F2M, F3M, G1M, G2M, G3M = flux_c(hM, huM, hvM)
-        F1P, F2P, F3P, G1P, G2P, G3P = flux_c(hP, huP, hvP)
-        spdM = _safe_norm(huM / hM, hvM / hM) + jnp.sqrt(g * hM)
-        spdP = _safe_norm(huP / hP, hvP / hP) + jnp.sqrt(g * hP)
+        (F1M, F2M, F3M, G1M, G2M, G3M), invM = flux_c(hM, huM, hvM)
+        (F1P, F2P, F3P, G1P, G2P, G3P), invP = flux_c(hP, huP, hvP)
+        spdM = _safe_norm(huM * invM, hvM * invM) + jnp.sqrt(g * hM)
+        spdP = _safe_norm(huP * invP, hvP * invP) + jnp.sqrt(g * hP)
         dh, dhu, dhv = hM - hP, huM - huP, hvM - hvP
         corr = None
 
-    lam = _face_max(jnp.maximum(spdM, spdP), meta)
+    # fscale is prefolded into the normals (FSNX/FSNY) and folded into
+    # lam once — the LIFT input below needs no per-field fscale multiply
+    lamfs = _face_max(jnp.maximum(spdM, spdP), meta) * o.fscale
 
-    dflux1 = 0.5 * ((F1M - F1P) * o.nx + (G1M - G1P) * o.ny - lam * dh)
-    dflux2 = 0.5 * ((F2M - F2P) * o.nx + (G2M - G2P) * o.ny - lam * dhu)
-    dflux3 = 0.5 * ((F3M - F3P) * o.nx + (G3M - G3P) * o.ny - lam * dhv)
+    dflux1 = 0.5 * ((F1M - F1P) * o.FSNX + (G1M - G1P) * o.FSNY
+                    - lamfs * dh)
+    dflux2 = 0.5 * ((F2M - F2P) * o.FSNX + (G2M - G2P) * o.FSNY
+                    - lamfs * dhu)
+    dflux3 = 0.5 * ((F3M - F3P) * o.FSNX + (G3M - G3P) * o.FSNY
+                    - lamfs * dhv)
     if corr is not None:
-        dflux1 = dflux1 + corr
-        dflux2 = dflux2 + corr * uM
-        dflux3 = dflux3 + corr * vM
+        corrfs = corr * o.fscale
+        dflux1 = dflux1 + corrfs
+        dflux2 = dflux2 + corrfs * uM
+        dflux3 = dflux3 + corrfs * vM
 
     # volume fluxes: only 5 distinct fields (F1=hu, G1=hv, G2 shared):
     # [hu, F2, G2, hv, G3] — derivatives in 2 stacked full-height matmuls
@@ -752,8 +834,7 @@ def _rhs_blocked(h, hu, hv, t, ctrl, o: BlockedOps, meta: BlockedMeta,
                 + o.ry * cut(FGr, iy) + o.sy * cut(FGs, iy))
 
     sf = _vmm(LIFTa, jnp.concatenate(
-        [o.fscale * dflux1, o.fscale * dflux2, o.fscale * dflux3], axis=2),
-        meta)
+        [dflux1, dflux2, dflux3], axis=2), meta)
     rhs1 = cut(sf, 0) - div(0, 3)
     rhs2 = cut(sf, 1) - div(1, 2)
     rhs3 = cut(sf, 2) - div(2, 4)
@@ -772,7 +853,7 @@ def _rhs_blocked(h, hu, hv, t, ctrl, o: BlockedOps, meta: BlockedMeta,
         if meta.wetdry:
             u, v = uvol, vvol
         else:
-            u, v = hu / h, hv / h
+            u, v = hu * inv_h, hv * inv_h  # reuse the volume reciprocal
         nrm = _safe_norm(u, v)
         rhs2 = rhs2 - meta.cd * nrm * u
         rhs3 = rhs3 - meta.cd * nrm * v

@@ -291,6 +291,11 @@ def build_sharded_blocked(
         # send/cut lists exist (placeholders keep the ctor total)
         SGEM=rep(np.zeros((1, 1))), SL=rep(np.zeros((1, 1))),
         RG=rep(np.zeros((1, 1))), RL=rep(np.zeros((1, 1))),
+        EM2=rep(np.zeros((1, 1))),  # sharded path uses the default rolls
+        FSNX=to(stack(lambda s: padT3(
+            np.asarray(ctx.fscale) * np.asarray(ctx.nx), NT, s * k_loc))),
+        FSNY=to(stack(lambda s: padT3(
+            np.asarray(ctx.fscale) * np.asarray(ctx.ny), NT, s * k_loc))),
     )
     meta = BlockedMeta(
         n_p=n_p, n_fp=n_fp, n_faces=n_faces, k_elem=k_loc,

@@ -58,6 +58,29 @@ def test_blocked_step_matches_xla(cells, n_order):
             atol=1e-12)
 
 
+@pytest.mark.parametrize("cells,n_order", [((4, 4), 1), ((3, 5), 3)])
+def test_blocked_step_rolls_v2_matches_xla(cells, n_order):
+    """The 'rolls_v2' trace path (flip-baked EM2 rows + field-stacked
+    combo loop — the round-5 VPU-census experiment, kept as A/B evidence)
+    must agree with the XLA path to f64 roundoff too."""
+    ctx = build_triangle_context(n_order, box_triangles(*cells))
+    phys = SWPhysics(g=9.81)
+    ops, meta = build_blocked_step_ops(ctx, phys, dtype=jnp.float64,
+                                       trace_mode="rolls_v2")
+    assert meta.trace_mode == "rolls_v2"
+
+    state = _initial(ctx)
+    dt = 1e-3
+    ref = _xla_step(ctx, state, phys, dt)
+
+    packed = [pack_state(meta, f[None]) for f in state]
+    out = sw2d_step_blocked(ops, meta, *packed, None, dt, interpret=True)
+    for got, want in zip(out, ref):
+        np.testing.assert_allclose(
+            np.asarray(unpack_state(meta, got)[0]), np.asarray(want),
+            atol=1e-12)
+
+
 def test_blocked_step_unstructured_rcm():
     """box.msh (K=1046, unstructured) after RCM reordering: the roll-combo
     trace exchange must stay exact on an arbitrary conforming mesh."""
