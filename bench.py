@@ -845,6 +845,34 @@ def main():
         best6 = min(best6, time.perf_counter() - t0)
     extra["curved_mpc_solves_per_s"] = round(BC / best6, 2)
 
+    # ---- the FUSED twin (round 5, VERDICT r4 #8): same curved problem
+    # through the blocked Pallas kernel (per-element curved MMinv as Np
+    # fused row MACs, jax.vjp-in-kernel adjoint) ----
+    from blitzdg_tpu.mpc.curved_blocked import (
+        build_curved_blocked_mpc, solve_mpc_curved_blocked)
+
+    bump6np = _np.asarray(bump6, _np.float64)
+    bm6 = build_curved_blocked_mpc(
+        prob6, cub6, gauss6, _np.stack([bump6np, 0 * bump6np]),
+        _np.stack([0 * bump6np, bump6np]), precision="high")
+    solve6b = jax.jit(lambda s, tg: solve_mpc_curved_blocked(
+        prob6, bm6, s, tg, 2, iters=IT3, learning_rate=0.05,
+        H_rest=1.0).cost)
+    _phase('compile+run: curved MPC (blocked kernel)')
+    out6b = jax.block_until_ready(solve6b(s6b, tg6))
+    assert bool(jnp.isfinite(out6b).all()), "curved blocked MPC non-finite"
+    best6b = 1e30
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out6b = jax.block_until_ready(solve6b(s6b, tg6))
+        best6b = min(best6b, time.perf_counter() - t0)
+    extra["curved_mpc_blocked_solves_per_s"] = round(BC / best6b, 2)
+    # solve-quality cross-check: both optimizers should land at the same
+    # cost level on the same problem (bf16_3x kernel vs f32 XLA)
+    extra["curved_mpc_blocked_vs_xla_cost_ratio"] = round(float(
+        _np.median(_np.asarray(out6b) / _np.maximum(
+            _np.asarray(out6), 1e-300))), 3)
+
     print(
         json.dumps(
             {

@@ -5,6 +5,12 @@ from .blocked import (
     solve_mpc_blocked,
     solve_mpc_blocked_gn,
 )
+from .curved_blocked import (
+    CurvedBlockedMPC,
+    build_curved_blocked_mpc,
+    mpc_cost_curved_blocked,
+    solve_mpc_curved_blocked,
+)
 from .pallas import PallasMPC, build_pallas_mpc, mpc_cost_pallas, solve_mpc_pallas
 from .problem import MPCProblem, mpc_cost, rollout_controls
 from .solver import MPCSolution, receding_horizon, solve_mpc, solve_mpc_gn
@@ -26,4 +32,8 @@ __all__ = [
     "mpc_cost_blocked",
     "solve_mpc_blocked",
     "solve_mpc_blocked_gn",
+    "CurvedBlockedMPC",
+    "build_curved_blocked_mpc",
+    "mpc_cost_curved_blocked",
+    "solve_mpc_curved_blocked",
 ]
