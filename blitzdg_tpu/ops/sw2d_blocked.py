@@ -1680,14 +1680,24 @@ def make_rollout_blocked(
 # Differentiable sharded stage: custom VJP with an in-kernel pullback
 # ---------------------------------------------------------------------------
 
-def _stage_bwd_kernel(meta, c_dt, t0, use_filter, has_t, has_ctrl,
-                      apply_sponge, *refs):
-    """Backward of the sharded stage: given cotangents of (out, traces),
-    produce cotangents of (base, cur, ext). The RHS pullback is `jax.vjp`
-    of the SAME `_eval_rhs` values function traced in-kernel (the proven
-    blocked-adjoint pattern); the trace-emission and sponge pieces are
-    linear and handled in closed form."""
-    (ch, chu, chv, eh, ehu, ehv, loh, lohu, lohv, ltr, *rest) = refs
+def _dotT(a, b, prec="highest"):
+    """aᵀ @ b without materializing the transpose (one-hot exact at
+    HIGHEST): contracting dim 0 of both operands."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=a.dtype)
+
+
+def _stage_bwd_kernel_v2(meta, c_dt, t0, use_filter, has_t, has_ctrl,
+                         apply_sponge, *refs):
+    """Backward of the KERNEL-I/O sharded stage (round 5): cotangents of
+    (out3, send_buffer) -> cotangents of (base3, cur3, recv_buffer
+    [, ctrl]). The send-gather pullback is closed-form (SGEMᵀ / SL);
+    the RHS pullback — INCLUDING the in-kernel recv consumption
+    (_recv_to_ext) — is jax.vjp of the same values function, so the
+    rb cotangent falls out of AD."""
+    (ch, chu, chv, rb, loh, lohu, lohv, lsb, *rest) = refs
     if has_t:
         t_ref, *rest = rest
     if has_ctrl:
@@ -1696,23 +1706,21 @@ def _stage_bwd_kernel(meta, c_dt, t0, use_filter, has_t, has_ctrl,
     else:
         ctrl = None
     if has_ctrl:
-        (*ops_list, obh, obhu, obhv, och, ochu, ochv, oeh, oehu, oehv,
-         octl) = rest
+        (*ops_list, obh, obhu, obhv, och, ochu, ochv, orb, octl) = rest
     else:
-        (*ops_list, obh, obhu, obhv, och, ochu, ochv,
-         oeh, oehu, oehv) = rest
+        (*ops_list, obh, obhu, obhv, och, ochu, ochv, orb) = rest
     o = BlockedOps(*(r[:] for r in ops_list))
     M = meta.M
     tt = t_ref[0, 0] if has_t else t0
 
-    # trace emission tr = EM @ concat(where(vm,h,1), hu*vm, hv*vm):
-    # lambda_out_c += vm * (EM^T @ ltr)[:, :, c*M:(c+1)*M]
-    lt = ltr[0].reshape(meta.p * meta.NT, 3 * M)
-    lam_add = jnp.einsum("ab,ac->bc", o.EM, lt).reshape(meta.p, meta.NP,
-                                                        3 * M)
-    lo = [loh[0] + lam_add[:, :, :M] * o.vmask,
-          lohu[0] + lam_add[:, :, M:2 * M] * o.vmask,
-          lohv[0] + lam_add[:, :, 2 * M:] * o.vmask]
+    # send-buffer emission sb = gather(out) via SGEM/SL: closed-form
+    # pullback onto the (post-sponge) outputs
+    lam_G = jnp.concatenate(
+        [lsb[0][:, c:c + 1] * o.SL for c in range(3)], axis=1)  # (L_s, 3M)
+    lam_xs = _dotT(o.SGEM, lam_G).reshape(meta.p, meta.NP, 3 * M)
+    lo = [loh[0] + lam_xs[:, :, :M],
+          lohu[0] + lam_xs[:, :, M:2 * M],
+          lohv[0] + lam_xs[:, :, 2 * M:]]
 
     if apply_sponge and meta.has_sponge:
         fac = 1.0 / (1.0 + c_dt * o.SPNG)
@@ -1723,55 +1731,57 @@ def _stage_bwd_kernel(meta, c_dt, t0, use_filter, has_t, has_ctrl,
         lam_R = [c_dt * l for l in lo]
 
     if has_ctrl:
-        def rhs_fn(c3, e3, cc):
+        def rhs_fn(c3, rbv, cc):
+            ext = _recv_to_ext(rbv, o, meta)
             return _eval_rhs(c3[0], c3[1], c3[2], tt, list(cc), o, meta,
-                             use_filter, ext=e3)
+                             use_filter, ext=ext)
 
-        _, vjp = jax.vjp(rhs_fn, (ch[0], chu[0], chv[0]),
-                         (eh[0], ehu[0], ehv[0]), tuple(ctrl))
-        (lc, le, lctl) = vjp(tuple(lam_R))
+        _, vjp = jax.vjp(rhs_fn, (ch[0], chu[0], chv[0]), rb[0],
+                         tuple(ctrl))
+        lc, lrb, lctl = vjp(tuple(lam_R))
         for c in range(meta.n_ctrl):
             octl[0, c] = lctl[c]
     else:
-        def rhs_fn(c3, e3):
+        def rhs_fn(c3, rbv):
+            ext = _recv_to_ext(rbv, o, meta)
             return _eval_rhs(c3[0], c3[1], c3[2], tt, None, o, meta,
-                             use_filter, ext=e3)
+                             use_filter, ext=ext)
 
-        _, vjp = jax.vjp(rhs_fn, (ch[0], chu[0], chv[0]),
-                         (eh[0], ehu[0], ehv[0]))
-        (lc, le) = vjp(tuple(lam_R))
+        _, vjp = jax.vjp(rhs_fn, (ch[0], chu[0], chv[0]), rb[0])
+        lc, lrb = vjp(tuple(lam_R))
 
     obh[0], obhu[0], obhv[0] = lam_base
     och[0], ochu[0], ochv[0] = lc
-    oeh[0], oehu[0], oehv[0] = le
+    orb[0] = lrb
 
 
 @functools.partial(
     jax.jit, static_argnames=("meta", "c_dt", "t0", "use_filter",
                               "apply_sponge", "interpret")
 )
-def sw2d_stage_bwd_blocked(
+def sw2d_stage_bwd_blocked_v2(
     ops: BlockedOps,
     meta: BlockedMeta,
     cur,       # tuple of 3 (B, p, NP, M): the stage-input state
-    ext,       # tuple of 3 (B, p, NT, M)
-    lam_out,   # tuple of 3 (B, p, NP, M): cotangent of the stage output
-    lam_tr,    # (B, p, NT, 3M): cotangent of the emitted traces
+    rb,        # (B, L_r, 3): the stage's receive buffer
+    lam_out,   # tuple of 3 (B, p, NP, M)
+    lam_sb,    # (B, L_s, 3): cotangent of the emitted send buffer
     c_dt: float,
     t=None,
     t0: float = 0.0,
     use_filter: bool = True,
     apply_sponge: bool = False,
     interpret: bool = False,
-    ctrl=None,  # (1, n_ctrl): also emits the control cotangent when given
+    ctrl=None,
 ):
     B, p, NP, M = cur[0].shape
-    NT = meta.NT
+    L_s = ops.SGEM.shape[0]
+    L_r = rb.shape[1]
     vspec = pl.BlockSpec((1, p, NP, M), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
-    tspec = pl.BlockSpec((1, p, NT, M), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM)
-    t3spec = pl.BlockSpec((1, p, NT, 3 * M), lambda i: (i, 0, 0, 0),
+    rbspec = pl.BlockSpec((1, L_r, 3), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    sbspec = pl.BlockSpec((1, L_s, 3), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     op_specs = [
         pl.BlockSpec(op.shape, lambda i, nd=op.ndim: (0,) * nd,
@@ -1790,13 +1800,13 @@ def sw2d_stage_bwd_blocked(
                                 ).reshape(1, meta.n_ctrl))
         t_specs.append(pl.BlockSpec((1, meta.n_ctrl), lambda i: (0, 0),
                                     memory_space=pltpu.SMEM))
-    kernel = functools.partial(_stage_bwd_kernel, meta, float(c_dt),
+    kernel = functools.partial(_stage_bwd_kernel_v2, meta, float(c_dt),
                                float(t0), use_filter, has_t, has_ctrl,
                                apply_sponge)
     vshp = jax.ShapeDtypeStruct((B, p, NP, M), cur[0].dtype)
-    tshp = jax.ShapeDtypeStruct((B, p, NT, M), cur[0].dtype)
-    out_specs = [vspec] * 3 + [vspec] * 3 + [tspec] * 3
-    out_shape = [vshp] * 3 + [vshp] * 3 + [tshp] * 3
+    out_specs = [vspec] * 6 + [rbspec]
+    out_shape = [vshp] * 6 + [jax.ShapeDtypeStruct((B, L_r, 3),
+                                                   cur[0].dtype)]
     if has_ctrl:
         out_specs.append(pl.BlockSpec((1, meta.n_ctrl), lambda i: (i, 0),
                                       memory_space=pltpu.SMEM))
@@ -1805,11 +1815,11 @@ def sw2d_stage_bwd_blocked(
     return pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[vspec] * 3 + [tspec] * 3 + [vspec] * 3 + [t3spec]
+        in_specs=[vspec] * 3 + [rbspec] + [vspec] * 3 + [sbspec]
         + t_specs + op_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
-    )(*cur, *ext, *lam_out, lam_tr, *t_in, *ops)
+    )(*cur, rb, *lam_out, lam_sb, *t_in, *ops)

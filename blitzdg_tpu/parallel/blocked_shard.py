@@ -51,14 +51,6 @@ class ShardedBlocked(NamedTuple):
     tables: tuple  # halo_tables(plan)
     n_shards: int
     k_loc: int
-    # LEAN exchange tables (static, stacked per shard) consuming the
-    # kernel-emitted packed traces directly — no XLA-level unpack/gather:
-    #  send_flat: (n_shards, n_off, max_send*n_fp) flat idx into (p*NT*3M)
-    #  ext_idx:   (n_shards, n_cut_max*n_fp) flat scatter idx into (p*NT*M)
-    #             (out-of-range padding rows are dropped)
-    #  ext_src:   (n_shards, n_cut_max*n_fp) idx into the concatenated
-    #             receive buffer (n_off*max_send*n_fp), flips baked in
-    lean: tuple
 
 
 def build_sharded_blocked(
@@ -312,42 +304,18 @@ def build_sharded_blocked(
     )
     plan = build_halo_plan(ctx, n_shards)
 
-    # ---- lean-exchange static tables (consume kernel-emitted traces) ----
+    # ---- cut-face lists for the kernel-I/O exchange tables ----
     n_off = max(len(plan.offs), 1)
     ms = plan.max_send
     f_loc = k_loc * n_faces
     psrc = np.asarray(plan.psrc)    # (n_shards, f_loc)
     pflip = np.asarray(plan.pflip)
     send_idx = np.asarray(plan.send_idx)  # (n_shards, n_off?, max_send)
-    send_flat = np.zeros((n_shards, n_off, ms * n_fp), np.int32)
     cut_lists = []
     for s in range(n_shards):
-        for di in range(send_idx.shape[1]):
-            for slot in range(ms):
-                r = int(send_idx[s, di, slot])
-                kl, f = divmod(r, n_faces)
-                sg, l = divmod(kl, M)
-                for i in range(n_fp):
-                    send_flat[s, di, slot * n_fp + i] = (
-                        (sg * NT + f * n_fp + i) * (3 * M) + l)
         cuts = [(r, int(psrc[s, r]) - f_loc, bool(pflip[s, r]))
                 for r in range(f_loc) if psrc[s, r] >= f_loc]
         cut_lists.append(cuts)
-    n_cut_max = max((len(c) for c in cut_lists), default=0)
-    n_cut_max = max(n_cut_max, 1)
-    ext_idx = np.full((n_shards, n_cut_max * n_fp), p * NT * M, np.int32)
-    ext_src = np.zeros((n_shards, n_cut_max * n_fp), np.int32)
-    for s in range(n_shards):
-        for ci, (r, rslot, flip) in enumerate(cut_lists[s]):
-            kl, f = divmod(r, n_faces)
-            sg, l = divmod(kl, M)
-            di, slot = divmod(rslot, ms)
-            for j in range(n_fp):
-                src_node = n_fp - 1 - j if flip else j
-                ext_idx[s, ci * n_fp + j] = (sg * NT + f * n_fp + j) * M + l
-                ext_src[s, ci * n_fp + j] = (di * ms + slot) * n_fp + src_node
-    lean = (jnp.asarray(send_flat), jnp.asarray(ext_idx),
-            jnp.asarray(ext_src))
 
     # ---- kernel-I/O exchange tables (round 5, VERDICT r4 #2): the send
     # gather and recv scatter move INTO the stage kernel as exact one-hot
@@ -387,7 +355,7 @@ def build_sharded_blocked(
 
     return ShardedBlocked(ops=ops, meta=meta, plan=plan,
                           tables=halo_tables(plan), n_shards=n_shards,
-                          k_loc=k_loc, lean=lean)
+                          k_loc=k_loc)
 
 
 def pack_local(meta: BlockedMeta, f: jnp.ndarray) -> jnp.ndarray:
@@ -597,14 +565,19 @@ def make_sharded_blocked_step_diff(sb: ShardedBlocked, dt: float,
                                    interpret: bool = False):
     """DIFFERENTIABLE fused sharded step: the stage kernels carry a custom
     VJP whose backward pass is a Pallas kernel running `jax.vjp` of the
-    same values RHS in-kernel (sw2d_stage_bwd_blocked); the lean exchange
+    same values RHS in-kernel (sw2d_stage_bwd_blocked_v2); the exchange
     is plain jnp (take/ppermute/scatter) and transposes natively. The
     whole sharded rollout is then `jax.grad`-able — multi-chip MPC
     adjoints at blocked-kernel speed.
 
-    Same carry contract as make_sharded_blocked_step_fused."""
+    Same carry contract as make_sharded_blocked_step_fused (round 5: the
+    diff path rides the kernel-I/O lean exchange too — the forward stage
+    consumes/emits the compact (B, L, 3) buffers, and the backward stage
+    kernel jax.vjp's the SAME lean-I/O values function in-kernel, so the
+    recv-buffer cotangent falls out of AD and the XLA glue between
+    launches is slice+ppermute+concat in BOTH sweeps)."""
     from ..ops.sw2d_blocked import (sw2d_stage_blocked,
-                                    sw2d_stage_bwd_blocked)
+                                    sw2d_stage_bwd_blocked_v2)
     from . import halo as halo_mod
 
     if sb.meta.wetdry:
@@ -618,37 +591,38 @@ def make_sharded_blocked_step_diff(sb: ShardedBlocked, dt: float,
             "the non-diff sharded step for wetdry rollouts)")
 
     meta, plan = sb.meta, sb.plan
-    p, NT, M = meta.p, meta.NT, meta.M
     n = plan.n_shards
+    n_off = len(plan.offs)
+    chunk = plan.max_send * meta.n_fp
 
     def make_stage(c_dt, apply_sponge):
         @jax.custom_vjp
-        def stage(ops, base, cur, ext, t, ctrl):
+        def stage(ops, base, cur, rb, t, ctrl):
             out = sw2d_stage_blocked(
-                ops, meta, base, cur, ext, c_dt, t0=0.0,
-                use_filter=use_filter, emit_traces=True,
-                apply_sponge=apply_sponge, interpret=interpret, t=t,
-                ctrl=ctrl)
-            *o3, tr = out
-            return (tuple(o3), tr)
+                ops, meta, base, cur, None, c_dt, t0=0.0,
+                use_filter=use_filter, apply_sponge=apply_sponge,
+                interpret=interpret, t=t, ctrl=ctrl, rb=rb)
+            *o3, sbuf = out
+            return (tuple(o3), sbuf)
 
-        def fwd(ops, base, cur, ext, t, ctrl):
-            res = stage(ops, base, cur, ext, t, ctrl)
-            return res, (ops, cur, ext, t, ctrl)
+        def fwd(ops, base, cur, rb, t, ctrl):
+            res = stage(ops, base, cur, rb, t, ctrl)
+            return res, (ops, cur, rb, t, ctrl)
 
         def bwd(saved, cot):
-            ops, cur, ext, t, ctrl = saved
-            lam_out, lam_tr = cot
-            outs = sw2d_stage_bwd_blocked(
-                ops, meta, cur, ext, tuple(lam_out), lam_tr, c_dt, t=t,
+            ops, cur, rb, t, ctrl = saved
+            lam_out, lam_sb = cot
+            outs = sw2d_stage_bwd_blocked_v2(
+                ops, meta, cur, rb, tuple(lam_out), lam_sb, c_dt, t=t,
                 use_filter=use_filter, apply_sponge=apply_sponge,
                 interpret=interpret, ctrl=ctrl)
-            lb, lc, le = tuple(outs[0:3]), tuple(outs[3:6]), tuple(outs[6:9])
+            lb, lc = tuple(outs[0:3]), tuple(outs[3:6])
+            lrb = outs[6]
             zops = jax.tree.map(jnp.zeros_like, ops)
             zt = None if t is None else jnp.zeros_like(t)
-            lctl = (outs[9].reshape(jnp.shape(ctrl))
+            lctl = (outs[7].reshape(jnp.shape(ctrl))
                     if ctrl is not None else None)
-            return (zops, lb, lc, le, zt, lctl)
+            return (zops, lb, lc, lrb, zt, lctl)
 
         stage.defvjp(fwd, bwd)
         return stage
@@ -656,34 +630,27 @@ def make_sharded_blocked_step_diff(sb: ShardedBlocked, dt: float,
     stage1 = make_stage(0.5 * dt, False)
     stage2 = make_stage(dt, True)
 
-    def lean_exchange(traces, lean_row):
-        send_flat, ext_idx, ext_src = (a[0] for a in lean_row)
-        flat = traces[0].reshape(-1)
+    def exchange(sbuf):
+        # slice + ppermute + concat: every op transposes natively, so
+        # jax.grad flows through the whole sharded scan
+        if n_off == 0:
+            return jnp.zeros_like(sbuf)
         outs = []
         for di, d in enumerate(plan.offs):
-            buf = jnp.stack([jnp.take(flat, send_flat[di] + c * M)
-                             for c in range(3)])
+            buf = sbuf[:, di * chunk:(di + 1) * chunk, :]
             outs.append(halo_mod._ppermute(
                 buf, axis_name, [(j, (j + d) % n) for j in range(n)]))
-        if outs:
-            rbuf = jnp.concatenate(outs, axis=1)
-            vals = jnp.take(rbuf, ext_src, axis=1)
-        else:
-            vals = jnp.zeros((3, ext_idx.shape[0]), traces.dtype)
-        zero = jnp.zeros((p * NT * M,), traces.dtype)
-        return tuple(
-            zero.at[ext_idx].set(vals[c], mode="drop").reshape(1, p, NT, M)
-            for c in range(3))
+        return jnp.concatenate(outs, axis=1)
 
-    def step(local_ops: BlockedOps, lean_row, carry, t, ctrl=None):
-        packed, traces = carry
+    def step(local_ops: BlockedOps, carry, t, ctrl=None):
+        packed, sbuf = carry
         o = jax.tree.map(lambda a: a[0], local_ops)
         t1 = t if meta.tidal is not None else None
         t2 = (t + 0.5 * dt) if meta.tidal is not None else None
-        ext1 = lean_exchange(traces, lean_row)
-        s1, tr1 = stage1(o, packed, packed, ext1, t1, ctrl)
-        ext2 = lean_exchange(tr1, lean_row)
-        s2, tr2 = stage2(o, packed, s1, ext2, t2, ctrl)
-        return (s2, tr2)
+        rb1 = exchange(sbuf)
+        s1, sb1 = stage1(o, packed, packed, rb1, t1, ctrl)
+        rb2 = exchange(sb1)
+        s2, sb2 = stage2(o, packed, s1, rb2, t2, ctrl)
+        return (s2, sb2)
 
     return step

@@ -40,7 +40,7 @@ from blitzdg_tpu.ops.sw2d import SWPhysics
 from blitzdg_tpu.parallel import partition_mesh
 from blitzdg_tpu.parallel.blocked_shard import (
     build_sharded_blocked,
-    initial_packed_traces,
+    initial_send_buffer,
     make_sharded_blocked_step_diff,
     pack_local,
 )
@@ -74,7 +74,6 @@ def main(ndev=None, n_steps=8, iters=30):
 
     op_specs = jax.tree.map(
         lambda a: P("element", *([None] * (a.ndim - 1))), sb.ops)
-    ln_specs = tuple(P("element", *([None] * (a.ndim - 1))) for a in sb.lean)
     st_spec = P("element", None, None, None)
 
     # target: the terminal momentum REACHED by a hidden reference control
@@ -83,31 +82,31 @@ def main(ndev=None, n_steps=8, iters=30):
     cs_ref = jnp.asarray(
         np.array([[0.8, -0.4]] * n_steps, np.float32))
 
-    def rollout_local(ops_l, ln_l, cs, z_l):
+    def rollout_local(ops_l, cs, z_l):
         pk = (10.0 * vm, z_l, z_l)
-        tr0 = initial_packed_traces(sb, ops_l, pk)
+        sb0 = initial_send_buffer(sb, ops_l, pk)
 
         def body(carry, c):
-            return step(ops_l, ln_l, carry, 0.0, ctrl=c), None
+            return step(ops_l, carry, 0.0, ctrl=c), None
 
-        ((out, _), _) = jax.lax.scan(body, (pk, tr0), cs)[0], None
+        ((out, _), _) = jax.lax.scan(body, (pk, sb0), cs)[0], None
         return out[1]  # terminal hu (packed)
 
     roll_fn = jax.jit(jax.shard_map(
         rollout_local, mesh=el_mesh,
-        in_specs=(op_specs, ln_specs, P(), st_spec),
+        in_specs=(op_specs, P(), st_spec),
         out_specs=st_spec, check_vma=False))
-    tgt_pk = roll_fn(sb.ops, sb.lean, cs_ref, zero_pk)
+    tgt_pk = roll_fn(sb.ops, cs_ref, zero_pk)
 
-    def loss_local(ops_l, ln_l, cs, tgt_l, z_l):
+    def loss_local(ops_l, cs, tgt_l, z_l):
         h_pk = 10.0 * vm  # rest start; the CONTROLS must do the steering
         pk = (h_pk, z_l, z_l)
-        tr0 = initial_packed_traces(sb, ops_l, pk)
+        sb0 = initial_send_buffer(sb, ops_l, pk)
 
         def body(carry, c):
-            return step(ops_l, ln_l, carry, 0.0, ctrl=c), None
+            return step(ops_l, carry, 0.0, ctrl=c), None
 
-        ((out, _), _) = jax.lax.scan(body, (pk, tr0), cs)[0], None
+        ((out, _), _) = jax.lax.scan(body, (pk, sb0), cs)[0], None
         hu_end = out[1]
         loc = jnp.sum(vm * (hu_end - tgt_l) ** 2)
         return jax.lax.psum(loc, "element") + 1e-7 * jnp.sum(cs**2)
@@ -115,9 +114,9 @@ def main(ndev=None, n_steps=8, iters=30):
     def total(cs):
         fn = jax.shard_map(
             loss_local, mesh=el_mesh,
-            in_specs=(op_specs, ln_specs, P()) + (st_spec,) * 2,
+            in_specs=(op_specs, P()) + (st_spec,) * 2,
             out_specs=P(), check_vma=False)
-        return fn(sb.ops, sb.lean, cs, tgt_pk, zero_pk)
+        return fn(sb.ops, cs, tgt_pk, zero_pk)
 
     vg = jax.jit(jax.value_and_grad(total))
     opt = optax.adam(0.5)

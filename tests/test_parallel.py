@@ -1067,7 +1067,7 @@ class TestShardedBlocked:
         single-device XLA rollout w.r.t. the initial state."""
         from blitzdg_tpu.ops.sw2d import SWPhysics, SWState, sw2d_rhs, apply_filter
         from blitzdg_tpu.parallel.blocked_shard import (
-            build_sharded_blocked, initial_packed_traces,
+            build_sharded_blocked, initial_send_buffer,
             make_sharded_blocked_step_diff, pack_local, unpack_local)
         from blitzdg_tpu.timestepping import ssprk2_step
         from jax.sharding import Mesh, PartitionSpec as P
@@ -1103,8 +1103,6 @@ class TestShardedBlocked:
         el_mesh = Mesh(np.array(jax.devices()[:NDEV]), ("element",))
         op_specs = jax.tree.map(
             lambda a: P("element", *([None] * (a.ndim - 1))), sb.ops)
-        ln_specs = tuple(P("element", *([None] * (a.ndim - 1)))
-                         for a in sb.lean)
         st_spec = P("element", None, None, None)
         vm = sb.ops.vmask[0][None]  # (1, p, NP, M)
 
@@ -1117,14 +1115,14 @@ class TestShardedBlocked:
             pack_local(meta, tgt[s * k_loc:(s + 1) * k_loc])
             for s in range(NDEV)], axis=0)
 
-        def sh_loss_local(ops_l, ln_l, hpk, hupk, hvpk, tgt_l):
+        def sh_loss_local(ops_l, hpk, hupk, hvpk, tgt_l):
             pk = (hpk, hupk, hvpk)
-            tr0 = initial_packed_traces(sb, ops_l, pk)
+            sb0 = initial_send_buffer(sb, ops_l, pk)
 
             def body(carry, _):
-                return step(ops_l, ln_l, carry, 0.0), None
+                return step(ops_l, carry, 0.0), None
 
-            ((out, _), _) = jax.lax.scan(body, (pk, tr0), None,
+            ((out, _), _) = jax.lax.scan(body, (pk, sb0), None,
                                          length=NSTEP)[0], None
             h_end, hu_end, _ = out
             loc = (jnp.sum(vm * (h_end - tgt_l) ** 2)
@@ -1134,11 +1132,11 @@ class TestShardedBlocked:
         def total(hpk):
             fn = jax.shard_map(
                 sh_loss_local, mesh=el_mesh,
-                in_specs=(op_specs, ln_specs) + (st_spec,) * 3
+                in_specs=(op_specs,) + (st_spec,) * 3
                 + (st_spec,),
                 out_specs=P(),
                 check_vma=False)
-            return fn(sb.ops, sb.lean, hpk, packed_fix[0], packed_fix[1],
+            return fn(sb.ops, hpk, packed_fix[0], packed_fix[1],
                       tgt_pk)
 
         h_pk = jnp.concatenate([
@@ -1161,7 +1159,7 @@ class TestShardedBlocked:
         match the single-device XLA gradient."""
         from blitzdg_tpu.ops.sw2d import SWPhysics, SWState, sw2d_rhs, apply_filter
         from blitzdg_tpu.parallel.blocked_shard import (
-            build_sharded_blocked, initial_packed_traces,
+            build_sharded_blocked, initial_send_buffer,
             make_sharded_blocked_step_diff, pack_local)
         from blitzdg_tpu.timestepping import ssprk2_step
         from jax.sharding import Mesh, PartitionSpec as P
@@ -1216,27 +1214,25 @@ class TestShardedBlocked:
         vm = sb.ops.vmask[0][None]
         op_specs = jax.tree.map(
             lambda a: P("element", *([None] * (a.ndim - 1))), sb.ops)
-        ln_specs = tuple(P("element", *([None] * (a.ndim - 1)))
-                         for a in sb.lean)
         st_spec = P("element", None, None, None)
 
-        def loss_local(ops_l, ln_l, cs, h_l, hu_l, hv_l, tgt_l):
+        def loss_local(ops_l, cs, h_l, hu_l, hv_l, tgt_l):
             pk = (h_l, hu_l, hv_l)
-            tr0 = initial_packed_traces(sb, ops_l, pk)
+            sb0 = initial_send_buffer(sb, ops_l, pk)
 
             def body(carry, c):
-                return step(ops_l, ln_l, carry, 0.0, ctrl=c), None
+                return step(ops_l, carry, 0.0, ctrl=c), None
 
-            ((out, _), _) = jax.lax.scan(body, (pk, tr0), cs)[0], None
+            ((out, _), _) = jax.lax.scan(body, (pk, sb0), cs)[0], None
             return jax.lax.psum(jnp.sum(vm * (out[0] - tgt_l) ** 2),
                                 "element")
 
         def total(cs):
             fn = jax.shard_map(
                 loss_local, mesh=el_mesh,
-                in_specs=(op_specs, ln_specs, P()) + (st_spec,) * 4,
+                in_specs=(op_specs, P()) + (st_spec,) * 4,
                 out_specs=P(), check_vma=False)
-            return fn(sb.ops, sb.lean, cs, *packed, tgt_pk)
+            return fn(sb.ops, cs, *packed, tgt_pk)
 
         v_sh = float(total(ctrls0))
         v_ref = float(xla_loss(ctrls0))

@@ -26,8 +26,7 @@ from blitzdg_tpu.ops.sw2d_blocked import (
     build_blocked_step_ops, pack_state, sw2d_rollout_blocked,
     sw2d_stage_blocked)
 from blitzdg_tpu.parallel.blocked_shard import (
-    build_sharded_blocked, initial_packed_traces,
-    make_sharded_blocked_step_fused, pack_local)
+    build_sharded_blocked, initial_packed_traces, pack_local)
 from blitzdg_tpu.specgrid.triangle import build_triangle_context
 
 N_MEAS = 2048
@@ -115,26 +114,30 @@ def main():
     print(f"D 2 launches/iter, no glue: {us_d:8.2f} us/step", flush=True)
 
     # E: the shipping fused sharded step under shard_map(1 device)
+    # (round-5 kernel-I/O exchange; the round-4 trace-emitting variant it
+    # replaced measured 34.7 us in this probe's original run)
+    from blitzdg_tpu.parallel.blocked_shard import (
+        initial_send_buffer, make_sharded_blocked_step_fused)
+
     sbstep = make_sharded_blocked_step_fused(sb, dt)
     smesh = Mesh(np.array(jax.devices()[:1]), ("element",))
     ospec = jax.tree.map(lambda a: P("element", *([None] * (a.ndim - 1))),
                          sb.ops)
-    lspec = tuple(P("element", *([None] * (a.ndim - 1))) for a in sb.lean)
     sspec = P("element", None, None, None)
 
-    def roll_e(ops_l, ln_l, *p):
-        tr0 = initial_packed_traces(sb, ops_l, tuple(p))
+    def roll_e(ops_l, *p):
+        sb0 = initial_send_buffer(sb, ops_l, tuple(p))
 
         def body(carry, _):
-            return sbstep(ops_l, ln_l, carry, 0.0), None
-        (out, _), _ = jax.lax.scan(body, (tuple(p), tr0), None,
+            return sbstep(ops_l, carry, 0.0), None
+        (out, _), _ = jax.lax.scan(body, (tuple(p), sb0), None,
                                    length=N_MEAS)
         return out
 
     fn_e = jax.jit(jax.shard_map(
-        roll_e, mesh=smesh, in_specs=(ospec, lspec) + (sspec,) * 3,
+        roll_e, mesh=smesh, in_specs=(ospec,) + (sspec,) * 3,
         out_specs=(sspec,) * 3, check_vma=False))
-    us_e = timeit(fn_e, sb.ops, sb.lean, *pk)
+    us_e = timeit(fn_e, sb.ops, *pk)
     print(f"E fused sharded step:       {us_e:8.2f} us/step", flush=True)
 
     print(f"\nbreakdown: launch+loop={us_b - us_a / 2:.2f} (vs half-A "
