@@ -1137,6 +1137,23 @@ def _step_kernel_rdma(meta, dt, t0, use_filter, has_t, has_ctrl,
     o = BlockedOps(*(r[:] for r in ops_list))
     tt = t_ref[0, 0] if has_t else t0
 
+    # receive-buffer init + READY handshake BEFORE any peer may send:
+    # zeroing after an early arrival would wipe delivered halo data on
+    # real hardware (devices run unsynchronized), so each device zeros
+    # its buffer first, then signals READY to every peer that will send
+    # to it; senders wait for all their destinations' READY below.
+    comm_buf[:] = jnp.zeros_like(comm_buf)  # also keeps the n_off == 0
+    # case NaN-free under interpret mode's uninitialized-memory fill
+    if offs:
+        my = jax.lax.axis_index(axis_name)
+        bar = pltpu.get_barrier_semaphore()
+        for d in offs:
+            src = jax.lax.rem(my - jnp.int32(d) + jnp.int32(n_shards),
+                              jnp.int32(n_shards))
+            pltpu.semaphore_signal(
+                bar, inc=1, device_id=src,
+                device_id_type=pltpu.DeviceIdType.LOGICAL)
+
     # ---- stage 1: s1 = s + (dt/2) R(s, ext1) ----
     ext1 = _recv_to_ext(rb[0], o, meta)
     r1, r2, r3 = _eval_rhs(bh[0], bhu[0], bhv[0], tt, ctrl, o, meta,
@@ -1146,11 +1163,12 @@ def _step_kernel_rdma(meta, dt, t0, use_filter, has_t, has_ctrl,
     hv1 = bhv[0] + 0.5 * dt * r3
 
     # ---- in-kernel halo exchange of s1's cut-face values ----
-    comm_buf[:] = jnp.zeros_like(comm_buf)  # EXTM-masked anyway; keeps
-    # the no-traffic (n_off == 0) case NaN-free under interpret mode
     sb1_buf[:] = _send_from_values(h1, hu1, hv1, o, meta)
     if offs:
-        my = jax.lax.axis_index(axis_name)
+        # all my destinations have zeroed their buffers (their READY
+        # cannot precede their previous-step completion, which consumed
+        # my previous-step message — no cross-step bleed)
+        pltpu.semaphore_wait(bar, len(offs))
         rdmas = []
         for di, d in enumerate(offs):
             dst = jax.lax.rem(my + jnp.int32(d), jnp.int32(n_shards))
