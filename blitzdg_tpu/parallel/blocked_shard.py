@@ -1,28 +1,34 @@
 """Element-sharded BLOCKED-kernel shallow water: per-shard fused Pallas
-steps + ppermute halo exchange between RK stages.
+stage kernels + KERNEL-I/O lean halo exchange between RK stages.
 
-Round-3 measured the XLA ppermute-halo path at ~575 us/step on one chip at
-K=2048/N=3 while the single-device blocked kernel does 7.7 us/step: the
-sharded path was ~75x off blocked-kernel speed. This module closes that
-gap: each shard runs the SAME packed (p, NP, M) Pallas stage kernel as the
-single-device path, and only the cut-face '+' traces cross shards:
+Each shard runs the SAME packed (p, NP, M) Pallas stage kernel as the
+single-device path (FULL coastal physics); only the cut-face '+' values
+cross shards. Round-5 architecture (the round-3 XLA halo path measured
+~575 us/step at K=2048/N=3; the round-4 trace-emitting lean exchange
+~34 us; this design ~32 us at B=1 and ~12 us/step/scenario at B=8 vs the
+in-kernel rollout's 21.7/8.5 — SCALING_r05.json):
 
-  per SSP-RK2 stage (the exchange must happen per stage — each stage's RHS
-  needs the traces of ITS OWN input state):
-    1. unpack the stage state to (K_loc, Np) (one XLA transpose),
-    2. exchange '+' face traces with `halo_face_rows` (ppermute per ring
-       offset, same tables as halo_sw2d_rhs),
-    3. repack the '+' rows to the packed trace layout (p, NT, M),
-    4. ONE Pallas stage kernel: out = base + c*dt*R(cur, ext) — the
-       in-kernel combo exchange resolves intra-shard faces; EXTM-masked
-       slots take the exchanged values.
+  per SSP-RK2 stage (the exchange must happen per stage — each stage's
+  RHS needs the traces of ITS OWN input state):
+    1. the PREVIOUS stage kernel emitted a compact (B, L, 3) SEND buffer
+       (cut-face values gathered in-kernel via the one-hot SGEM/SL
+       matmuls, exact at HIGHEST precision),
+    2. XLA glue = slice per ring offset + one `lax.ppermute` + concat,
+    3. ONE Pallas stage kernel consumes the receive buffer in-kernel
+       (RG/RL one-hot scatter into the EXTM-masked '+' slots):
+       out = base + c*dt*R(cur, rb) — the in-kernel combo exchange
+       resolves intra-shard faces.
 
 Setup builds per-shard BlockedOps with a UNION combo list (every shard
-runs the same SPMD program; a combo a shard doesn't have simply owns an
-all-zero cmask row) and cut faces self-connected locally (the override
-replaces their traces). Scope v1: flat-bottom wall-BC physics (the
-scaling workload); coastal terms follow the single-device kernel's
-pattern when needed.
+runs the same SPMD program; a combo a shard doesn't have owns an
+all-zero cmask row), cut faces self-connected locally (the override
+replaces their traces). Variants: `make_sharded_blocked_step_fused`
+(forward), `make_sharded_blocked_step_diff` (custom-VJP stages with the
+jax.vjp-in-kernel backward — multi-chip MPC adjoints at 169 us/step
+fwd+bwd), `make_sharded_blocked_step_rdma` (endgame prototype: ONE
+kernel per step, inter-stage halo via in-kernel remote DMA), and the
+non-fused `make_sharded_blocked_step` (XLA halo_face_rows exchange,
+kept as the reference implementation).
 """
 from __future__ import annotations
 
