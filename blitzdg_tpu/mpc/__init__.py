@@ -10,6 +10,7 @@ from .curved_blocked import (
     build_curved_blocked_mpc,
     mpc_cost_curved_blocked,
     solve_mpc_curved_blocked,
+    solve_mpc_curved_blocked_gn,
 )
 from .pallas import PallasMPC, build_pallas_mpc, mpc_cost_pallas, solve_mpc_pallas
 from .problem import MPCProblem, mpc_cost, rollout_controls
@@ -36,4 +37,5 @@ __all__ = [
     "build_curved_blocked_mpc",
     "mpc_cost_curved_blocked",
     "solve_mpc_curved_blocked",
+    "solve_mpc_curved_blocked_gn",
 ]

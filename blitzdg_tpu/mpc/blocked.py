@@ -139,7 +139,9 @@ def _residuals_blocked(prob, bm, states0, targets, H_rest):
     hup = pack_state(meta, states0.hu)
     hvp = pack_state(meta, states0.hv)
     tp = pack_state(meta, targets)
-    swj = jnp.sqrt(bm.wj)
+    # wj carries ~1e-17 negative roundoff on some meshes —
+    # harmless when squared (the cost path) but NaN under sqrt
+    swj = jnp.sqrt(jnp.maximum(bm.wj, 0.0))
     valid = (bm.wj > 0)
 
     def R(c):
@@ -157,37 +159,10 @@ def _residuals_blocked(prob, bm, states0, targets, H_rest):
     return R
 
 
-def solve_mpc_blocked_gn(
-    prob: MPCProblem,
-    bm: BlockedMPC,
-    states0: SWState,
-    targets: jnp.ndarray,
-    n_controls: int,
-    *,
-    gn_iters: int = 3,
-    cg_iters: int = 4,
-    lm_lambda0: float = 1e-2,
-    init_controls: jnp.ndarray | None = None,
-    H_rest: float = 10.0,
-    fd_eps: float = 1e-3,
-) -> MPCSolution:
-    """Gauss-Newton/LM on the BLOCKED Pallas rollout, batched over
-    scenarios: (JᵀJ + λ·curv·I) δ = -JᵀR by matrix-free CG per scenario.
-
-    Jᵀu rides the in-kernel custom-VJP adjoint exactly; Jv uses a
-    FORWARD DIFFERENCE through the rollout (the Pallas rollout defines a
-    custom VJP only, so true jvp is unavailable — the documented
-    tradeoff; fd_eps is scaled per scenario by ‖c‖/‖v‖, and the LM
-    damping absorbs the O(fd_eps) product noise). One CG step costs one
-    extra rollout + one adjoint."""
-    B = states0.h.shape[0]
-    dtype = states0.h.dtype
-    if init_controls is None:
-        c0 = jnp.zeros((B, prob.horizon, n_controls), dtype=dtype)
-    else:
-        c0 = init_controls
-    R = _residuals_blocked(prob, bm, states0, targets, H_rest)
-
+def _gn_lm_fd(R, c0, *, gn_iters, cg_iters, lm_lambda0, fd_eps):
+    """Batched Gauss-Newton/LM with forward-difference Jv and exact
+    (custom-VJP) Jᵀ: shared by the blocked and curved-blocked MPC solvers.
+    R: (B, H, n_ctrl) -> (B, n_res) stacked residuals."""
     bdot = lambda a, b: jnp.sum(a * b, axis=tuple(range(1, a.ndim)))
 
     def gn_step(carry, _):
@@ -240,7 +215,7 @@ def solve_mpc_blocked_gn(
         lam = jnp.where(accept[:, 0, 0], lam * 0.4, lam * 4.0)
         return (c, lam), jnp.where(accept[:, 0, 0], new_cost, cost)
 
-    lam0 = jnp.full((B,), lm_lambda0, dtype=dtype)
+    lam0 = jnp.full((c0.shape[0],), lm_lambda0, dtype=c0.dtype)
     (controls, _), history = jax.lax.scan(
         gn_step, (c0, lam0), None, length=gn_iters)
     r_fin, pb_fin = jax.vjp(R, controls)
@@ -248,3 +223,37 @@ def solve_mpc_blocked_gn(
     return MPCSolution(
         controls=controls, cost=bdot(r_fin, r_fin), cost_history=history,
         grad_norm=2.0 * jnp.sqrt(bdot(gfin, gfin)))
+
+
+def solve_mpc_blocked_gn(
+    prob: MPCProblem,
+    bm: BlockedMPC,
+    states0: SWState,
+    targets: jnp.ndarray,
+    n_controls: int,
+    *,
+    gn_iters: int = 3,
+    cg_iters: int = 4,
+    lm_lambda0: float = 1e-2,
+    init_controls: jnp.ndarray | None = None,
+    H_rest: float = 10.0,
+    fd_eps: float = 1e-3,
+) -> MPCSolution:
+    """Gauss-Newton/LM on the BLOCKED Pallas rollout, batched over
+    scenarios: (JᵀJ + λ·curv·I) δ = -JᵀR by matrix-free CG per scenario.
+
+    Jᵀu rides the in-kernel custom-VJP adjoint exactly; Jv uses a
+    FORWARD DIFFERENCE through the rollout (the Pallas rollout defines a
+    custom VJP only, so true jvp is unavailable — the documented
+    tradeoff; fd_eps is scaled per scenario by ‖c‖/‖v‖, and the LM
+    damping absorbs the O(fd_eps) product noise). One CG step costs one
+    extra rollout + one adjoint."""
+    B = states0.h.shape[0]
+    dtype = states0.h.dtype
+    if init_controls is None:
+        c0 = jnp.zeros((B, prob.horizon, n_controls), dtype=dtype)
+    else:
+        c0 = init_controls
+    R = _residuals_blocked(prob, bm, states0, targets, H_rest)
+    return _gn_lm_fd(R, c0, gn_iters=gn_iters, cg_iters=cg_iters,
+                     lm_lambda0=lm_lambda0, fd_eps=fd_eps)

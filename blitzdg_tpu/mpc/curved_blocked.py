@@ -79,6 +79,61 @@ def mpc_cost_curved_blocked(
             + prob.r_control * effort)
 
 
+def _residuals_curved_blocked(prob, bm, states0, targets, H_rest):
+    """Per-scenario stacked LSQ residuals with sum(R**2, axis=1) ==
+    mpc_cost_curved_blocked (the 4-field curved analog of
+    blocked._residuals_blocked)."""
+    meta, spc = bm.meta, prob.steps_per_control
+    pk = [pack_curved(meta, f) for f in states0]
+    tp = pack_curved(meta, targets)
+    # wj carries ~1e-17 negative roundoff on some meshes —
+    # harmless when squared (the cost path) but NaN under sqrt
+    swj = jnp.sqrt(jnp.maximum(bm.wj, 0.0))
+    valid = (bm.wj > 0)
+
+    def R(c):
+        th, *_ = bm.rollout(*pk, c)
+        sel = th[:, jnp.arange(1, prob.horizon + 1) * spc]
+        err = (sel - H_rest) * valid[None, None] - tp[:, None]
+        B = c.shape[0]
+        run = (jnp.sqrt(prob.q_eta / prob.horizon)
+               * swj[None, None] * err).reshape(B, -1)
+        term = (jnp.sqrt(prob.q_terminal)
+                * swj[None] * err[:, -1]).reshape(B, -1)
+        eff = (jnp.sqrt(prob.r_control) * c).reshape(B, -1)
+        return jnp.concatenate([run, term, eff], axis=1)
+
+    return R
+
+
+def solve_mpc_curved_blocked_gn(
+    prob: MPCProblem,
+    bm: CurvedBlockedMPC,
+    states0: SWStateTracer,
+    targets: jnp.ndarray,
+    n_controls: int,
+    *,
+    gn_iters: int = 3,
+    cg_iters: int = 4,
+    lm_lambda0: float = 1e-2,
+    init_controls: jnp.ndarray | None = None,
+    H_rest: float = 1.0,
+    fd_eps: float = 1e-3,
+) -> MPCSolution:
+    """Gauss-Newton/LM on the fused CURVED rollout (FD-Jv + exact
+    in-kernel adjoint Jᵀ — blocked.solve_mpc_blocked_gn's loop on the
+    4-field curved dynamics)."""
+    from .blocked import _gn_lm_fd
+
+    B = states0.h.shape[0]
+    dtype = states0.h.dtype
+    c0 = (jnp.zeros((B, prob.horizon, n_controls), dtype=dtype)
+          if init_controls is None else init_controls)
+    R = _residuals_curved_blocked(prob, bm, states0, targets, H_rest)
+    return _gn_lm_fd(R, c0, gn_iters=gn_iters, cg_iters=cg_iters,
+                     lm_lambda0=lm_lambda0, fd_eps=fd_eps)
+
+
 def solve_mpc_curved_blocked(
     prob: MPCProblem,
     bm: CurvedBlockedMPC,

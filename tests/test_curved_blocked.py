@@ -223,3 +223,53 @@ def test_curved_blocked_mpc_matches_xla_cost_and_optimizes():
     assert np.all(np.isfinite(np.asarray(sol.controls)))
     assert np.all(np.isfinite(np.asarray(sol.grad_norm)))
     assert float(jnp.sum(sol.cost)) < float(jnp.sum(got))
+
+
+def test_curved_blocked_gn_matches_cost_and_converges():
+    """solve_mpc_curved_blocked_gn: residual formulation reproduces
+    mpc_cost_curved_blocked, and GN beats equal-rollout Adam on the
+    curved shooting problem."""
+    from blitzdg_tpu.mpc import (MPCProblem, build_curved_blocked_mpc,
+                                 mpc_cost_curved_blocked,
+                                 solve_mpc_curved_blocked,
+                                 solve_mpc_curved_blocked_gn)
+    from blitzdg_tpu.mpc.curved_blocked import _residuals_curved_blocked
+
+    ctx, cub, gauss = _curved_disk()
+    phys = SWPhysics(g=9.81)
+    prob = MPCProblem(ctx=ctx, phys=phys, dt=2e-4, horizon=3,
+                      steps_per_control=2, q_eta=0.1, q_terminal=1.0,
+                      r_control=1e-10)
+    bump = np.asarray(jnp.exp(-8.0 * (ctx.x ** 2 + ctx.y ** 2)))
+    bm = build_curved_blocked_mpc(prob, cub, gauss,
+                                  np.stack([bump, 0 * bump]),
+                                  np.stack([0 * bump, bump]),
+                                  interpret=True)
+    B = 2
+    h0 = jnp.ones((ctx.k_elem, ctx.n_p), jnp.float32)
+    s0 = SWStateTracer(h=h0, hu=0 * h0, hv=0 * h0, hN=0 * h0)
+    sB = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), s0)
+    tgt = jnp.stack([1e-3 * jnp.exp(-5.0 * ((ctx.x - o) ** 2 + ctx.y ** 2))
+                     for o in (-0.1, 0.2)]).astype(jnp.float32)
+    ctrls = jnp.asarray(np.random.default_rng(2).normal(
+        size=(B, prob.horizon, 2)) * 0.05, dtype=jnp.float32)
+
+    R = _residuals_curved_blocked(prob, bm, sB, tgt, 1.0)
+    r = R(ctrls)
+    c_ref = mpc_cost_curved_blocked(prob, bm, sB, ctrls, tgt, 1.0)
+    np.testing.assert_allclose(np.asarray(jnp.sum(r * r, axis=1)),
+                               np.asarray(c_ref), rtol=2e-5)
+
+    GN_ITERS, CG_ITERS = 3, 4
+    sol = solve_mpc_curved_blocked_gn(prob, bm, sB, tgt, 2,
+                                      gn_iters=GN_ITERS,
+                                      cg_iters=CG_ITERS,
+                                      init_controls=ctrls, H_rest=1.0)
+    assert np.all(np.isfinite(np.asarray(sol.controls)))
+    assert float(jnp.sum(sol.cost)) < float(jnp.sum(c_ref))
+    adam_iters = GN_ITERS * (2 + CG_ITERS)
+    sol_a = solve_mpc_curved_blocked(prob, bm, sB, tgt, 2,
+                                     iters=adam_iters, learning_rate=0.05,
+                                     init_controls=ctrls, H_rest=1.0)
+    assert float(jnp.sum(sol.cost)) < float(jnp.sum(sol_a.cost)), (
+        float(jnp.sum(sol.cost)), float(jnp.sum(sol_a.cost)))
